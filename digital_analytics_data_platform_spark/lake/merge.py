@@ -1,0 +1,312 @@
+"""The MERGE kernel: apply a CDC micro-batch to a LakeTable.
+
+Semantics (the reference's Bronze MERGE re-expressed Spark-first,
+``sql/02_SDI_SA360/01_BRONZE/MERGE/01_merge_sdi_bronze_sa360_campaign_daily.sql:31-148``):
+
+1. **clean / quarantine** — rows with unusable keys (null ``conv_id``,
+   negative ``turn_idx``, null order cols) are diverted to a quarantine
+   sink instead of poisoning partitions ("prevent partition garbage",
+   same file ``:12,130-132``).
+2. **exactly-once ledger** — a batch is identified by
+   ``(batch_key, fingerprint)`` where the fingerprint is
+   ``bit_xor(xxhash64(key, lsn))`` over the batch (the
+   ``(commit_lsn, key-hash)`` idempotency key from BASELINE.json). A
+   batch already in the ledger is a no-op; replaying the same events is
+   additionally harmless because last-writer-wins is idempotent.
+3. **last-writer-wins upsert** — union(existing rows of affected
+   buckets, incoming events) → one hash aggregation
+   ``max_by(payload_struct, order_struct)`` per key. A hash agg with
+   partial (map-side) combine is the scale-correct choice over a window
+   sort: hot keys collapse before the shuffle, so Zipf-skewed
+   conversations cannot stall a reducer (the explicit skew handling the
+   north rule asks for; the window-based variant lives in
+   ``operators/dedupe.py`` for parity with the reference's
+   ``ROW_NUMBER`` idiom, same file ``:134-146``).
+4. **tombstone retention** — a winning ``op='D'`` is kept as a
+   ``_deleted=true`` row (even for keys never seen) so a late-arriving
+   older update can never resurrect a deleted key. Readers filter
+   tombstones; ``expire_tombstones`` compacts them past a watermark
+   (the analog of the reference's scoped ``WHEN NOT MATCHED BY SOURCE …
+   DELETE`` windows, ``sql/05_SDI_PROFOUND/…/01_sp_reconcile_…:176-178``).
+5. **schema evolution** — new payload columns in the batch (e.g.
+   ``tool`` appearing mid-stream) are added to the table schema;
+   old files read back with nulls; batches missing table columns get
+   nulls (the reference's explicit-column-list + ADD COLUMN IF NOT
+   EXISTS discipline, ``…campaign_entity.sql:20``,
+   ``01_Notebook_v8.ipynb`` ``_ensure_review_table_schema``).
+6. **partition-scoped rewrite** — only the key-hash buckets present in
+   the batch are rewritten; the manifest carries everything else over.
+
+Shuffle budget per batch: exactly two — the LWW hash agg (keyed by the
+merge key) and the bucket-layout repartition before write (the
+Iceberg ``write.distribution-mode=hash`` analog).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
+
+from .table import DELETED_COL, LakeTable
+
+_LEDGER_KEY = "ledger"
+_LEDGER_MAX = 1024  # retained ledger entries; older batches are protected by LWW idempotence anyway
+
+
+@dataclass
+class MergeResult:
+    version: int
+    skipped: bool = False
+    events_in: int = 0
+    quarantined: int = 0
+    inserts: int = 0
+    updates: int = 0
+    deletes: int = 0
+    keys_written: int = 0
+    affected_buckets: list[int] = field(default_factory=list)
+    wall_s: float = 0.0
+
+
+def _business_fields(schema: T.StructType) -> list[T.StructField]:
+    return [f for f in schema.fields if f.name != DELETED_COL]
+
+
+def merge_changes(
+    spark: SparkSession,
+    table: LakeTable,
+    changes: DataFrame,
+    *,
+    batch_key: str | None = None,
+    write_salt: int = 1,
+    quarantine: bool = True,
+) -> MergeResult:
+    """Apply one micro-batch of CDC events (schema: key cols + payload +
+    order cols + optional ``op``/``commit_lsn``) to ``table``."""
+    t0 = time.monotonic()
+    snap = table.snapshot()
+    key_cols = snap.key_cols
+    order_cols = snap.order_cols
+    ledger: dict[str, Any] = dict(snap.props.get(_LEDGER_KEY, {}))
+
+    if batch_key is not None and batch_key in ledger:
+        return MergeResult(version=snap.version, skipped=True, wall_s=time.monotonic() - t0)
+
+    # ---- schema alignment / evolution -----------------------------------
+    table_fields = _business_fields(snap.schema())
+    table_names = [f.name for f in table_fields]
+    incoming_payload = [c for c in changes.columns if c not in ("op", "commit_lsn")]
+    new_fields = [changes.schema[c] for c in incoming_payload if c not in table_names]
+    evolved_fields = table_fields + [T.StructField(f.name, f.dataType, True) for f in new_fields]
+    evolved_names = [f.name for f in evolved_fields]
+    evolved_schema = T.StructType(
+        evolved_fields + [T.StructField(DELETED_COL, T.BooleanType(), False)]
+    )
+
+    has_op = "op" in changes.columns
+    has_commit = "commit_lsn" in changes.columns
+    staged = changes
+    for f_ in evolved_fields:
+        if f_.name not in staged.columns:
+            staged = staged.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+    if not has_op:
+        staged = staged.withColumn("op", F.lit("U"))
+
+    # ---- clean / quarantine / bucket ------------------------------------
+    bad = F.col(key_cols[0]).isNull()
+    for k in key_cols[1:]:
+        kf = staged.schema[k].dataType
+        bad = bad | F.col(k).isNull()
+        if isinstance(kf, (T.IntegerType, T.LongType)):
+            bad = bad | (F.col(k) < 0)
+    for oc in order_cols:
+        bad = bad | F.col(oc).isNull()
+    bucket = F.when(bad, F.lit(-1)).otherwise(
+        F.pmod(F.xxhash64(F.col(key_cols[0])), F.lit(snap.n_buckets)).cast("int")
+    )
+    staged = staged.withColumn("_bucket", bucket)
+    staged.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # One partial-agg pass gives affected buckets, counts, and the
+    # exactly-once fingerprint without a full shuffle.
+    fp_expr = F.expr(
+        "bit_xor(xxhash64({cols}))".format(cols=", ".join([*key_cols, order_cols[-1]]))
+    )
+    per_bucket = (
+        staged.groupBy("_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            fp_expr.alias("fp"),
+            (F.max("commit_lsn") if has_commit else F.max(F.lit(0))).alias("max_commit"),
+        )
+        .collect()
+    )
+    events_in = sum(r["n"] for r in per_bucket)
+    n_quarantined = sum(r["n"] for r in per_bucket if r["_bucket"] == -1)
+    affected = sorted(r["_bucket"] for r in per_bucket if r["_bucket"] >= 0)
+    fingerprint = 0
+    max_commit = 0
+    for r in per_bucket:
+        if r["_bucket"] >= 0:
+            fingerprint ^= int(r["fp"] or 0)
+            max_commit = max(max_commit, int(r["max_commit"] or 0))
+
+    if quarantine and n_quarantined:
+        (
+            staged.filter(F.col("_bucket") == -1)
+            .drop("_bucket")
+            .write.mode("append")
+            .parquet(table.quarantine_path())
+        )
+
+    if not affected:
+        staged.unpersist()
+        res = _ledger_only_commit(table, snap.version, ledger, batch_key, fingerprint, max_commit)
+        res.events_in, res.quarantined = events_in, n_quarantined
+        res.wall_s = time.monotonic() - t0
+        return res
+
+    clean = staged.filter(F.col("_bucket") >= 0)
+
+    # ---- union existing + batch, one LWW hash-agg ------------------------
+    existing = table.read(spark, buckets=affected, include_deleted=True)
+    for f_ in evolved_fields:  # old files lack newly-evolved columns
+        if f_.name not in existing.columns:
+            existing = existing.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+    existing_side = existing.select(
+        *evolved_names, F.col(DELETED_COL), F.lit(1).alias("_in_table"), F.lit(0).alias("_from_batch")
+    )
+    batch_side = clean.select(
+        *evolved_names,
+        (F.col("op") == "D").alias(DELETED_COL),
+        F.lit(0).alias("_in_table"),
+        F.lit(1).alias("_from_batch"),
+    )
+    unioned = existing_side.unionByName(batch_side)
+
+    payload_names = [c for c in evolved_names if c not in key_cols]
+    order_struct = F.struct(*[F.col(c) for c in order_cols])
+    payload_struct = F.struct(
+        *[F.col(c) for c in payload_names], F.col(DELETED_COL), F.col("_from_batch")
+    )
+    winners = (
+        unioned.groupBy(*key_cols)
+        .agg(
+            F.max_by(payload_struct, order_struct).alias("_w"),
+            F.max("_in_table").alias("_existed"),
+        )
+        .select(
+            *key_cols,
+            *[F.col(f"_w.{c}").alias(c) for c in payload_names],
+            F.col(f"_w.{DELETED_COL}").alias(DELETED_COL),
+            F.col("_w._from_batch").alias("_from_batch"),
+            F.col("_existed"),
+        )
+        .withColumn(
+            "_bucket", F.pmod(F.xxhash64(F.col(key_cols[0])), F.lit(snap.n_buckets)).cast("int")
+        )
+    )
+    winners.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # per-bucket lineage + batch metrics in one small agg
+    lineage_rows = (
+        winners.groupBy("_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("keys"),
+            F.sum(((F.col("_from_batch") == 1) & (F.col("_existed") == 0) & ~F.col(DELETED_COL)).cast("long")).alias("inserts"),
+            F.sum(((F.col("_from_batch") == 1) & (F.col("_existed") == 1) & ~F.col(DELETED_COL)).cast("long")).alias("updates"),
+            F.sum(((F.col("_from_batch") == 1) & F.col(DELETED_COL)).cast("long")).alias("deletes"),
+            F.max(F.col(order_cols[-1])).alias("max_order"),
+        )
+        .collect()
+    )
+
+    commit_dir, new_files = table.write_data_files(
+        winners.select(*evolved_names, DELETED_COL, "_bucket"), write_salt=write_salt
+    )
+    del commit_dir
+
+    ledger = _trim_ledger(ledger, batch_key, fingerprint, max_commit)
+    lineage = [
+        {
+            "bucket": int(r["_bucket"]),
+            "keys": int(r["keys"]),
+            "inserts": int(r["inserts"]),
+            "updates": int(r["updates"]),
+            "deletes": int(r["deletes"]),
+            "batch_key": batch_key,
+        }
+        for r in lineage_rows
+    ]
+    new_snap = table.commit(
+        new_files=new_files,
+        replaced_buckets=affected,
+        expected_version=snap.version,
+        schema=evolved_schema,
+        props_update={
+            _LEDGER_KEY: ledger,
+            "max_commit_lsn": max(max_commit, int(snap.props.get("max_commit_lsn", 0))),
+        },
+        lineage=lineage,
+    )
+
+    res = MergeResult(
+        version=new_snap.version,
+        events_in=events_in,
+        quarantined=n_quarantined,
+        inserts=sum(r["inserts"] for r in lineage),
+        updates=sum(r["updates"] for r in lineage),
+        deletes=sum(r["deletes"] for r in lineage),
+        keys_written=sum(r["keys"] for r in lineage),
+        affected_buckets=affected,
+        wall_s=time.monotonic() - t0,
+    )
+    winners.unpersist()
+    staged.unpersist()
+    return res
+
+
+def _trim_ledger(ledger: dict, batch_key: str | None, fingerprint: int, max_commit: int) -> dict:
+    if batch_key is not None:
+        ledger[batch_key] = {"fp": fingerprint, "max_commit_lsn": max_commit}
+        if len(ledger) > _LEDGER_MAX:
+            for k in sorted(ledger)[: len(ledger) - _LEDGER_MAX]:
+                del ledger[k]
+    return ledger
+
+
+def _ledger_only_commit(
+    table: LakeTable, expected_version: int, ledger: dict, batch_key: str | None, fp: int, max_commit: int
+) -> MergeResult:
+    snap = table.commit(
+        new_files=[],
+        replaced_buckets=(),
+        expected_version=expected_version,
+        props_update={_LEDGER_KEY: _trim_ledger(ledger, batch_key, fp, max_commit)},
+    )
+    return MergeResult(version=snap.version)
+
+
+def expire_tombstones(spark: SparkSession, table: LakeTable, *, older_than_lsn: int) -> int:
+    """Maintenance: rewrite buckets dropping tombstones whose order col
+    is below the watermark (safe once no event older than the watermark
+    can still arrive — the reference's lookback-window contract)."""
+    snap = table.snapshot()
+    df = table.read(spark, include_deleted=True)
+    keep = df.filter(~(F.col(DELETED_COL) & (F.col(snap.order_cols[-1]) < older_than_lsn)))
+    keep = keep.withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col(snap.key_cols[0])), F.lit(snap.n_buckets)).cast("int")
+    )
+    _, new_files = table.write_data_files(keep)
+    table.commit(
+        new_files=new_files,
+        replaced_buckets=range(snap.n_buckets),
+        expected_version=snap.version,
+        props_update={"tombstone_watermark_lsn": older_than_lsn},
+    )
+    return sum(f["rows"] for f in new_files)

@@ -1,0 +1,321 @@
+"""Snapshot-based table format: immutable parquet files + JSON manifests.
+
+Layout on disk::
+
+    <table>/
+        data/<commit-uuid>/_bucket=K/part-*.parquet   immutable data files
+        snapshots/v000000000001.json                  manifest chain
+        _CURRENT                                      atomic pointer (rename)
+        quarantine/                                   rejected garbage rows
+
+A snapshot manifest records: version, parent, Spark schema JSON, key
+columns, bucket count, the full live file list (path, bucket, rows,
+min/max stats), table properties (including the exactly-once ledger of
+applied batches), and per-bucket lineage for the last commit.
+
+Single-writer model (one streaming query per table), like the
+reference's scheduler-serialized stored procedures
+(``orchestration/bigquery/…/00_sdi_sa360_paid_search_sp_call.sql:1-17``).
+Commits still verify the expected parent version so a misconfigured
+second writer fails loudly instead of corrupting state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# System column marking tombstoned keys. Tombstones are retained so a
+# late-arriving older update cannot resurrect a deleted key; readers
+# filter them, maintenance can expire them past the watermark.
+DELETED_COL = "_deleted"
+
+
+class CommitConflict(RuntimeError):
+    pass
+
+
+@dataclass
+class Snapshot:
+    version: int
+    parent: int | None
+    schema_json: str
+    key_cols: list[str]
+    order_cols: list[str]
+    n_buckets: int
+    files: list[dict[str, Any]]
+    props: dict[str, Any] = field(default_factory=dict)
+    lineage: list[dict[str, Any]] = field(default_factory=list)
+
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.schema_json))
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "parent": self.parent,
+                "schema": json.loads(self.schema_json),
+                "key_cols": self.key_cols,
+                "order_cols": self.order_cols,
+                "n_buckets": self.n_buckets,
+                "files": self.files,
+                "props": self.props,
+                "lineage": self.lineage,
+            }
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "Snapshot":
+        d = json.loads(s)
+        return Snapshot(
+            version=d["version"],
+            parent=d.get("parent"),
+            schema_json=json.dumps(d["schema"]),
+            key_cols=d["key_cols"],
+            order_cols=d["order_cols"],
+            n_buckets=d["n_buckets"],
+            files=d["files"],
+            props=d.get("props", {}),
+            lineage=d.get("lineage", []),
+        )
+
+
+def _atomic_write(path: str, content: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(content)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)  # atomic on POSIX
+
+
+class LakeTable:
+    """Handle to a snapshot-versioned bucketed table."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    # -- lifecycle -------------------------------------------------------
+
+    @staticmethod
+    def create(
+        path: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        order_cols: list[str],
+        n_buckets: int = 64,
+        props: dict[str, Any] | None = None,
+    ) -> "LakeTable":
+        """Create an empty table. ``order_cols`` define the total
+        last-writer-wins order (e.g. ``["ts", "lsn"]``)."""
+        if os.path.exists(os.path.join(path, "_CURRENT")):
+            raise FileExistsError(f"table already exists at {path}")
+        os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        if DELETED_COL not in schema.fieldNames():
+            schema = T.StructType(list(schema.fields) + [T.StructField(DELETED_COL, T.BooleanType(), False)])
+        snap = Snapshot(
+            version=0,
+            parent=None,
+            schema_json=schema.json(),
+            key_cols=list(key_cols),
+            order_cols=list(order_cols),
+            n_buckets=n_buckets,
+            files=[],
+            props=dict(props or {}),
+        )
+        t = LakeTable(path)
+        t._write_snapshot(snap)
+        return t
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        return os.path.exists(os.path.join(path, "_CURRENT"))
+
+    @staticmethod
+    def load(path: str) -> "LakeTable":
+        if not LakeTable.exists(path):
+            raise FileNotFoundError(f"no lake table at {path}")
+        return LakeTable(path)
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        if version is None:
+            with open(os.path.join(self.path, "_CURRENT")) as f:
+                version = int(f.read().strip())
+        with open(os.path.join(self.path, "snapshots", f"v{version:012d}.json")) as f:
+            return Snapshot.from_json(f.read())
+
+    def _write_snapshot(self, snap: Snapshot) -> None:
+        snap_path = os.path.join(self.path, "snapshots", f"v{snap.version:012d}.json")
+        if os.path.exists(snap_path):
+            raise CommitConflict(f"snapshot v{snap.version} already exists (concurrent writer?)")
+        _atomic_write(snap_path, snap.to_json())
+        _atomic_write(os.path.join(self.path, "_CURRENT"), str(snap.version))
+
+    # -- read ------------------------------------------------------------
+
+    def bucket_expr(self, n_buckets: int, col: str | None = None) -> F.Column:
+        """Bucket id for a key column: pmod(xxhash64(key), B)."""
+        c = F.col(col) if col else F.col(self.snapshot().key_cols[0])
+        return F.pmod(F.xxhash64(c), F.lit(n_buckets)).cast("int")
+
+    def read(
+        self,
+        spark: SparkSession,
+        *,
+        buckets: Iterable[int] | None = None,
+        include_deleted: bool = False,
+        snapshot_version: int | None = None,
+        min_order: tuple | None = None,
+    ) -> DataFrame:
+        """Read the table at a snapshot. ``buckets`` prunes to the given
+        bucket ids via the manifest (file skipping — the partition-
+        pruning analog); ``min_order`` prunes files whose max order-col
+        stat is below the bound (incremental-scan analog)."""
+        snap = self.snapshot(snapshot_version)
+        files = snap.files
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f for f in files if f["bucket"] in bset]
+        if min_order is not None and files:
+            ocol = snap.order_cols[-1]  # lsn stats
+            files = [f for f in files if f.get(f"max_{ocol}") is None or f[f"max_{ocol}"] >= min_order[-1]]
+        schema = snap.schema()
+        if not files:
+            return spark.createDataFrame([], schema)
+        df = spark.read.schema(schema).parquet(*[os.path.join(self.path, f["path"]) for f in files])
+        if not include_deleted:
+            df = df.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
+        return df
+
+    # -- write -----------------------------------------------------------
+
+    def write_data_files(
+        self,
+        df: DataFrame,
+        *,
+        bucket_col: str = "_bucket",
+        write_salt: int = 1,
+    ) -> tuple[str, list[dict[str, Any]]]:
+        """Write ``df`` (which carries ``bucket_col``) as immutable data
+        files grouped by bucket under a fresh commit directory. Returns
+        (commit_dir_relpath, file_entries). No manifest change yet —
+        files become live only when :meth:`commit` publishes them, so a
+        failed write leaves only unreferenced orphans.
+
+        ``write_salt > 1`` spreads a hot bucket over several write tasks
+        (skew mitigation for the write stage; the dedupe stage is
+        already skew-safe via partial hash aggregation).
+        """
+        commit_dir = f"data/{uuid.uuid4().hex}"
+        out = os.path.join(self.path, commit_dir)
+        if write_salt > 1:
+            salted = df.repartition(F.col(bucket_col), F.pmod(F.xxhash64(F.col(self.snapshot().key_cols[-1])), F.lit(write_salt)))
+        else:
+            salted = df.repartition(F.col(bucket_col))
+        salted.write.partitionBy(bucket_col).mode("overwrite").parquet(out)
+        return commit_dir, self._scan_written(commit_dir)
+
+    def _scan_written(self, commit_dir: str) -> list[dict[str, Any]]:
+        """Collect per-file entries (bucket, rows, min/max order stats)
+        from parquet footers. Driver-side footer reads are cheap at this
+        file count; the 1000-executor path would collect the same stats
+        executor-side during the write (à la Iceberg write tasks)."""
+        import pyarrow.parquet as pq
+
+        snap = self.snapshot()
+        entries: list[dict[str, Any]] = []
+        root = os.path.join(self.path, commit_dir)
+        for dirpath, _dirnames, filenames in os.walk(root):
+            base = os.path.basename(dirpath)
+            if not base.startswith("_bucket="):
+                continue
+            bucket = int(base.split("=", 1)[1])
+            for fn in sorted(filenames):
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                md = pq.ParquetFile(full).metadata
+                entry: dict[str, Any] = {
+                    "path": os.path.relpath(full, self.path),
+                    "bucket": bucket,
+                    "rows": md.num_rows,
+                }
+                # min/max stats for the order columns (pruning)
+                name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                for ocol in snap.order_cols:
+                    idx = name_to_idx.get(ocol)
+                    if idx is None:
+                        continue
+                    mn = mx = None
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st is None or not st.has_min_max:
+                            mn = mx = None
+                            break
+                        lo, hi = st.min, st.max
+                        mn = lo if mn is None or lo < mn else mn
+                        mx = hi if mx is None or hi > mx else mx
+                    if mn is not None:
+                        entry[f"min_{ocol}"] = _json_safe(mn)
+                        entry[f"max_{ocol}"] = _json_safe(mx)
+                entries.append(entry)
+        return entries
+
+    def commit(
+        self,
+        *,
+        new_files: list[dict[str, Any]],
+        replaced_buckets: Iterable[int] = (),
+        expected_version: int | None = None,
+        schema: T.StructType | None = None,
+        props_update: dict[str, Any] | None = None,
+        lineage: list[dict[str, Any]] | None = None,
+    ) -> Snapshot:
+        """Publish a new snapshot: carry over files outside
+        ``replaced_buckets``, add ``new_files``, optionally evolve the
+        schema and update properties. Atomic via manifest rename."""
+        cur = self.snapshot()
+        if expected_version is not None and cur.version != expected_version:
+            raise CommitConflict(f"expected v{expected_version}, table at v{cur.version}")
+        replaced = set(replaced_buckets)
+        carried = [f for f in cur.files if f["bucket"] not in replaced]
+        props = dict(cur.props)
+        props.update(props_update or {})
+        snap = Snapshot(
+            version=cur.version + 1,
+            parent=cur.version,
+            schema_json=(schema or cur.schema()).json(),
+            key_cols=cur.key_cols,
+            order_cols=cur.order_cols,
+            n_buckets=cur.n_buckets,
+            files=carried + new_files,
+            props=props,
+            lineage=lineage or [],
+        )
+        self._write_snapshot(snap)
+        return snap
+
+    # -- maintenance -----------------------------------------------------
+
+    def total_rows(self) -> int:
+        return sum(f["rows"] for f in self.snapshot().files)
+
+    def quarantine_path(self) -> str:
+        return os.path.join(self.path, "quarantine")
+
+
+def _json_safe(v: Any) -> Any:
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v

@@ -1,38 +1,56 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (the engine's core LWW-dedupe +
+rollup) on /root/testdata/sf0.001.
+``queries()`` — one entry per implemented operator from SURVEY.md §2
+plus the training-data operators; see
+``digital_analytics_data_platform_spark/queries.py``.
+``oracle_sql()`` — DuckDB-equivalent SQL per query (omitted for
+hash/LSH/mapInPandas operators that SQL cannot express; those get the
+driver's rows-only check and are covered by tests/test_operators.py).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from digital_analytics_data_platform_spark.queries import ORACLES, REGISTRY  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: last-writer-wins dedupe of the change-feed-shaped
+    `events` table (the CDC apply's core operator), rolled up per
+    surviving event_type."""
+    from pyspark.sql import functions as F
+
+    from digital_analytics_data_platform_spark.operators.dedupe import dedupe_lww
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    latest = dedupe_lww(
+        ev.select("user_id", "event_type", "ts", "event_id", "value"),
+        ["user_id", "event_type"],
+        ["ts", "event_id"],
+    )
+    return (
+        latest.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.max("ts").alias("latest_ts"),
+        )
+        .orderBy("event_type")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(REGISTRY)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,137 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {...per-query sec...}, "sf": ..., plus detail fields}
+
+Headline = the north-star workload: sustained CDC apply throughput
+(events/sec) replaying a deterministic synthetic change log through the
+foreachBatch MERGE kernel into a lake table, measured on steady-state
+batches (first batch excluded — JVM/codegen warmup). Plus wall times of
+representative operator queries at $SPARK_GRAFT_SF_DIR.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     (default 32)       → master local[N], shuffle=N
+  BENCH_EVENTS         (default 2_000_000) CDC apply event count
+  BENCH_BATCHES        (default 5)
+  BENCH_BUCKETS        (default 64)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from digital_analytics_data_platform_spark import datagen  # noqa: E402
+from digital_analytics_data_platform_spark.lake import LakeTable, merge_changes  # noqa: E402
+from digital_analytics_data_platform_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "w1_lww_dedupe",
+    "a1_rollup",
+    "a2_pivot",
+    "j1_enrichment_join",
+    "j2_asof_join",
+    "j4_spine_join",
+    "t6_unpivot",
+    "qgp_week",
+    "text_exact_dedupe",
+    "text_language_id",
+    "ann_brute_topk",
+    "minhash_near_dups",
+]
+
+
+def run_apply_bench(spark, n_events: int, n_batches: int, n_buckets: int) -> dict:
+    from pyspark.sql import types as T
+
+    tmp = tempfile.mkdtemp(prefix="bench_lake_")
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("lsn", T.LongType()),
+        ]
+    )
+    tbl = LakeTable.create(
+        f"{tmp}/bronze", schema, ["conv_id", "turn_idx"], ["ts", "lsn"], n_buckets=n_buckets
+    )
+    log = datagen.change_log(
+        spark,
+        n_events,
+        n_convs=max(1000, n_events // 1000),
+        turns_per_conv=50,
+        hot_key_frac=0.15,
+    )
+    batch_walls = []
+    for i in range(n_batches):
+        lo = i * n_events // n_batches
+        hi = (i + 1) * n_events // n_batches
+        batch = log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+        t0 = time.monotonic()
+        merge_changes(spark, tbl, batch, batch_key=f"bench:{i}")
+        batch_walls.append(time.monotonic() - t0)
+    shutil.rmtree(tmp, ignore_errors=True)
+    steady = batch_walls[1:] if len(batch_walls) > 1 else batch_walls
+    steady_events = n_events - n_events // n_batches if len(batch_walls) > 1 else n_events
+    return {
+        "apply_events": n_events,
+        "apply_batches": n_batches,
+        "apply_wall_s": round(sum(batch_walls), 3),
+        "apply_batch_walls_s": [round(w, 3) for w in batch_walls],
+        "apply_events_per_sec_steady": round(steady_events / sum(steady), 1),
+        "apply_events_per_sec_total": round(n_events / sum(batch_walls), 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_events = int(os.environ.get("BENCH_EVENTS", "2000000"))
+    n_batches = int(os.environ.get("BENCH_BATCHES", "5"))
+    n_buckets = int(os.environ.get("BENCH_BUCKETS", "64"))
+
+    spark = get_spark("dadp-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.range(1).count()  # JVM warmup tick
+
+    from digital_analytics_data_platform_spark.queries import REGISTRY
+
+    apply_stats = run_apply_bench(spark, n_events, n_batches, n_buckets)
+
+    q_times: dict[str, float] = {"cdc_apply": apply_stats["apply_wall_s"]}
+    for name in BENCH_QUERIES:
+        fn = REGISTRY[name]
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        q_times[name] = round(time.monotonic() - t0, 3)
+        del n
+
+    total = round(sum(q_times.values()), 3)
+    out = {
+        "metric": "cdc_apply_plus_operator_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": q_times,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "cpus": cpus,
+        **apply_stats,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

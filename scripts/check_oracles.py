@@ -1,0 +1,92 @@
+"""Replicate the driver's correctness gate locally: run each queries()
+entry on Spark and its oracle_sql() on DuckDB at sf0.01, compare
+row-count + schema + order-insensitive value hash."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb
+import pandas as pd
+
+import __spark_entry__ as entrymod
+from digital_analytics_data_platform_spark.session import get_spark
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(6)
+        else:
+            try:
+                df[c] = df[c].astype("float64").round(6)
+            except (ValueError, TypeError):
+                df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main():
+    spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        try:
+            got = fn(spark, SF_DIR).toPandas()
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"✗ {name}: spark error {str(e)[:300]}")
+            continue
+        if name not in oracles:
+            print(f"· {name}: rows-only ({len(got)} rows)")
+            if len(got) == 0 and name != "a7_dup_groups":
+                failures.append((name, "0 rows (rows-only check)"))
+            continue
+        try:
+            exp = con.sql(oracles[name]).df()
+        except Exception as e:
+            failures.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"✗ {name}: duckdb error {str(e)[:300]}")
+            continue
+        g, e = norm_frame(got), norm_frame(exp)
+        if list(g.columns) != list(e.columns):
+            failures.append((name, f"schema {list(g.columns)} vs {list(e.columns)}"))
+            print(f"✗ {name}: schema mismatch {list(g.columns)} vs {list(e.columns)}")
+            continue
+        if len(g) != len(e):
+            failures.append((name, f"rows {len(g)} vs {len(e)}"))
+            print(f"✗ {name}: row count {len(g)} vs {len(e)}")
+            continue
+        neq = (g != e) & ~(g.isna() & e.isna())
+        if neq.any().any():
+            bad_rows = neq.any(axis=1)
+            failures.append((name, f"{bad_rows.sum()} mismatched rows"))
+            print(f"✗ {name}: {bad_rows.sum()}/{len(g)} rows differ")
+            print("  got:", g[bad_rows].head(3).to_dict("records"))
+            print("  exp:", e[bad_rows].head(3).to_dict("records"))
+            continue
+        print(f"✓ {name}: {len(g)} rows match")
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} OK")
+    if failures:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

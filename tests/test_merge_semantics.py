@@ -1,0 +1,186 @@
+"""Merge-kernel semantics on handcrafted change logs: duplicates,
+out-of-order delivery, tombstones (no resurrection), schema evolution,
+quarantine, idempotent replay — the scenario coverage the north rule
+mandates (FIXTURES.md §F2)."""
+
+from pyspark.sql import functions as F
+
+from digital_analytics_data_platform_spark.lake import merge_changes
+from tests.conftest import cdc_rows
+
+
+def state(spark, tbl):
+    return {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in tbl.read(spark).collect()
+    }
+
+
+def test_insert_update_delete(spark, make_table):
+    tbl = make_table()
+    b1 = cdc_rows(
+        spark,
+        [
+            ("I", "c1", 0, "user", "hello", None, 10, 1),
+            ("I", "c1", 1, "assistant", "hi", None, 20, 2),
+            ("I", "c2", 0, "user", "yo", None, 30, 3),
+        ],
+    )
+    merge_changes(spark, tbl, b1, batch_key="b1")
+    b2 = cdc_rows(
+        spark,
+        [
+            ("U", "c1", 1, "assistant", "hi (edited)", None, 40, 4),
+            ("D", "c2", 0, None, None, None, 50, 5),
+        ],
+    )
+    r = merge_changes(spark, tbl, b2, batch_key="b2")
+    assert r.updates == 1 and r.deletes == 1
+    assert state(spark, tbl) == {("c1", 0): "hello", ("c1", 1): "hi (edited)"}
+
+
+def test_duplicate_deliveries_are_noops(spark, make_table):
+    tbl = make_table()
+    rows = [("I", "c1", 0, "user", "hello", None, 10, 1)]
+    merge_changes(spark, tbl, cdc_rows(spark, rows * 3), batch_key="b1")  # triple in-batch
+    merge_changes(spark, tbl, cdc_rows(spark, rows), batch_key="b2")  # redelivered later
+    assert state(spark, tbl) == {("c1", 0): "hello"}
+    assert tbl.read(spark).count() == 1
+
+
+def test_out_of_order_older_update_loses(spark, make_table):
+    tbl = make_table()
+    merge_changes(
+        spark, tbl, cdc_rows(spark, [("I", "c1", 0, "user", "v2", None, 100, 10)]), batch_key="b1"
+    )
+    # older ts arrives later: must NOT overwrite
+    merge_changes(
+        spark, tbl, cdc_rows(spark, [("U", "c1", 0, "user", "v1-late", None, 50, 11)]), batch_key="b2"
+    )
+    assert state(spark, tbl) == {("c1", 0): "v2"}
+    # equal ts, higher lsn wins (total order tie-break)
+    merge_changes(
+        spark, tbl, cdc_rows(spark, [("U", "c1", 0, "user", "v3", None, 100, 12)]), batch_key="b3"
+    )
+    assert state(spark, tbl) == {("c1", 0): "v3"}
+
+
+def test_tombstone_blocks_resurrection(spark, make_table):
+    tbl = make_table()
+    merge_changes(
+        spark,
+        tbl,
+        cdc_rows(
+            spark,
+            [("I", "c1", 0, "user", "born", None, 10, 1), ("D", "c1", 0, None, None, None, 30, 2)],
+        ),
+        batch_key="b1",
+    )
+    assert state(spark, tbl) == {}
+    # late update OLDER than the delete must stay dead
+    merge_changes(
+        spark, tbl, cdc_rows(spark, [("U", "c1", 0, "user", "zombie", None, 20, 3)]), batch_key="b2"
+    )
+    assert state(spark, tbl) == {}
+    # genuinely newer re-insert revives the key
+    merge_changes(
+        spark, tbl, cdc_rows(spark, [("I", "c1", 0, "user", "reborn", None, 40, 4)]), batch_key="b3"
+    )
+    assert state(spark, tbl) == {("c1", 0): "reborn"}
+
+
+def test_delete_of_unknown_key_leaves_guard_tombstone(spark, make_table):
+    tbl = make_table()
+    merge_changes(
+        spark, tbl, cdc_rows(spark, [("D", "cX", 5, None, None, None, 100, 1)]), batch_key="b1"
+    )
+    assert state(spark, tbl) == {}
+    # an older insert arriving later must not resurrect
+    merge_changes(
+        spark, tbl, cdc_rows(spark, [("I", "cX", 5, "user", "late", None, 90, 2)]), batch_key="b2"
+    )
+    assert state(spark, tbl) == {}
+
+
+def test_schema_evolution_midstream(spark, make_table):
+    from tests.conftest import TRANSCRIPT_SCHEMA
+    import pyspark.sql.types as T
+
+    pre_schema = T.StructType([f for f in TRANSCRIPT_SCHEMA.fields if f.name != "tool"])
+    tbl = make_table(schema=pre_schema)
+    pre = cdc_rows(spark, [("I", "c1", 0, "user", "old-world", None, 10, 1)]).drop("tool")
+    merge_changes(spark, tbl, pre, batch_key="b1")
+    assert "tool" not in [f.name for f in tbl.snapshot().schema().fields]
+
+    post = cdc_rows(spark, [("I", "c1", 1, "tool", "call", "search", 20, 2)])
+    merge_changes(spark, tbl, post, batch_key="b2")
+    fields = [f.name for f in tbl.snapshot().schema().fields]
+    assert "tool" in fields
+    out = {(r["conv_id"], r["turn_idx"]): r["tool"] for r in tbl.read(spark).collect()}
+    assert out == {("c1", 0): None, ("c1", 1): "search"}
+
+
+def test_quarantine_garbage_keys(spark, make_table):
+    tbl = make_table()
+    bad = cdc_rows(
+        spark,
+        [
+            ("I", None, 0, "user", "no conv", None, 10, 1),
+            ("I", "c1", -3, "user", "neg turn", None, 10, 2),
+            ("I", "c1", 0, "user", "good", None, 10, 3),
+        ],
+    )
+    r = merge_changes(spark, tbl, bad, batch_key="b1")
+    assert r.quarantined == 2 and r.inserts == 1
+    q = spark.read.parquet(tbl.quarantine_path())
+    assert q.count() == 2
+
+
+def test_ledger_skips_replayed_batch(spark, make_table):
+    tbl = make_table()
+    b = cdc_rows(spark, [("I", "c1", 0, "user", "x", None, 10, 1)])
+    merge_changes(spark, tbl, b, batch_key="bronze:0")
+    r = merge_changes(spark, tbl, b, batch_key="bronze:0")
+    assert r.skipped
+    assert tbl.read(spark).count() == 1
+
+
+def test_lww_replay_idempotent_without_ledger(spark, make_table):
+    tbl = make_table()
+    b = cdc_rows(
+        spark,
+        [
+            ("I", "c1", 0, "user", "a", None, 10, 1),
+            ("U", "c1", 0, "user", "b", None, 20, 2),
+            ("D", "c1", 1, None, None, None, 30, 3),
+        ],
+    )
+    merge_changes(spark, tbl, b, batch_key="k1")
+    before = sorted(map(tuple, tbl.read(spark).select("conv_id", "turn_idx", "text").collect()))
+    merge_changes(spark, tbl, b, batch_key="k2")  # new key → ledger does not skip
+    after = sorted(map(tuple, tbl.read(spark).select("conv_id", "turn_idx", "text").collect()))
+    assert before == after
+
+
+def test_full_row_replacement_semantics(spark, make_table):
+    # winner's values replace the whole row (reference MERGE UPDATE sets all cols)
+    tbl = make_table()
+    merge_changes(
+        spark, tbl, cdc_rows(spark, [("I", "c1", 0, "tool", "x", "search", 10, 1)]), batch_key="b1"
+    )
+    merge_changes(
+        spark, tbl, cdc_rows(spark, [("U", "c1", 0, "user", "y", None, 20, 2)]), batch_key="b2"
+    )
+    row = tbl.read(spark).collect()[0]
+    assert row["tool"] is None and row["role"] == "user" and row["text"] == "y"
+
+
+def test_bucket_pruning_reads(spark, make_table):
+    tbl = make_table(n_buckets=4)
+    rows = [("I", f"c{i}", 0, "user", f"t{i}", None, 10 + i, i) for i in range(20)]
+    merge_changes(spark, tbl, cdc_rows(spark, rows), batch_key="b1")
+    snap = tbl.snapshot()
+    some_bucket = snap.files[0]["bucket"]
+    pruned = tbl.read(spark, buckets=[some_bucket])
+    full = tbl.read(spark)
+    assert 0 < pruned.count() < full.count() == 20

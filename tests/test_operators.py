@@ -1,0 +1,234 @@
+"""Operator library correctness on small inputs (the DuckDB-oracle
+checks at sf0.01 run via __spark_entry__; these are unit-grain)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from digital_analytics_data_platform_spark.operators import (
+    asof_join,
+    dedupe_lww,
+    dedupe_lww_salted,
+    dedupe_lww_window,
+)
+from digital_analytics_data_platform_spark.operators.calendar import qgp_calendar, qgp_week
+from digital_analytics_data_platform_spark.operators.docdedupe import (
+    dedupe_exact,
+    dedupe_minhash,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from digital_analytics_data_platform_spark.operators.multimodal import (
+    extract_features,
+    sample_frames,
+    synthetic_media,
+)
+from digital_analytics_data_platform_spark.operators.reshape import (
+    date_spine,
+    explode_date_range,
+    pivot_agg,
+    spine_join,
+    unpivot,
+)
+from digital_analytics_data_platform_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    embedding_near_dups,
+    lsh_ann_topk,
+)
+from digital_analytics_data_platform_spark.operators.text import (
+    language_id,
+    quality_score,
+    token_count,
+    shingles,
+)
+
+
+@pytest.fixture(scope="module")
+def dup_df(spark):
+    rows = [
+        Row(k="a", ts=1, lsn=1, v="a1"),
+        Row(k="a", ts=3, lsn=2, v="a3"),
+        Row(k="a", ts=3, lsn=2, v="a3"),  # exact dup
+        Row(k="a", ts=2, lsn=3, v="a2-late"),  # later lsn, older ts → loses
+        Row(k="b", ts=1, lsn=4, v="b1"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_dedupe_variants_agree(spark, dup_df):
+    for fn in (dedupe_lww, dedupe_lww_window, dedupe_lww_salted):
+        got = {r["k"]: r["v"] for r in fn(dup_df, ["k"], ["ts", "lsn"]).collect()}
+        assert got == {"a": "a3", "b": "b1"}, fn.__name__
+
+
+def test_asof_join_matches_naive(spark):
+    import duckdb
+
+    facts = spark.createDataFrame(
+        [Row(k="x", d=i) for i in range(0, 20, 2)] + [Row(k="y", d=i) for i in range(1, 15, 3)]
+    )
+    snaps = spark.createDataFrame(
+        [
+            Row(k="x", sd=0, name="x0"),
+            Row(k="x", sd=7, name="x7"),
+            Row(k="x", sd=14, name="x14"),
+            Row(k="y", sd=5, name="y5"),
+        ]
+    )
+    got = asof_join(facts, snaps, ["k"], "d", "sd").orderBy("k", "d").toPandas()
+    con = duckdb.connect()
+    con.register("facts_pd", facts.toPandas())
+    con.register("snaps_pd", snaps.toPandas())
+    exp = con.sql(
+        """
+        SELECT f.k, f.d, s.name FROM facts_pd f LEFT JOIN snaps_pd s
+        ON s.k = f.k AND s.sd = (SELECT max(sd) FROM snaps_pd s2 WHERE s2.k=f.k AND s2.sd <= f.d)
+        ORDER BY f.k, f.d
+        """
+    ).df()
+    assert got["name"].fillna("∅").tolist() == exp["name"].fillna("∅").tolist()
+
+
+def test_unpivot_pivot_roundtrip(spark):
+    wide = spark.createDataFrame(
+        [Row(k="a", m1=1.0, m2=2.0), Row(k="b", m1=3.0, m2=None)]
+    )
+    long = unpivot(wide, ["k"], ["m1", "m2"])
+    assert long.count() == 3  # EXCLUDE NULLS
+    back = pivot_agg(long, ["k"], "metric_name", "metric_value", pivot_values=["m1", "m2"])
+    got = {r["k"]: (r["m1"], r["m2"]) for r in back.collect()}
+    assert got == {"a": (1.0, 2.0), "b": (3.0, None)}
+
+
+def test_spine_join_no_duplication(spark):
+    a = spark.createDataFrame([Row(k="x", va=1.0), Row(k="x", va=2.0)])  # dup grain!
+    b = spark.createDataFrame([Row(k="y", vb=5.0)])
+    out = spine_join({"a": a, "b": b}, ["k"])
+    assert out.count() == 2  # spine keys only, pre-aggregated
+
+
+def test_date_spine_and_explode(spark):
+    assert date_spine(spark, "2026-01-01", "2026-01-10").count() == 10
+    df = spark.sql("SELECT to_date('2026-01-01') s, to_date('2026-01-03') e")
+    assert explode_date_range(df, "s", "e").count() == 3
+
+
+def test_qgp_week_caps_at_quarter_end(spark):
+    df = spark.sql(
+        "SELECT d, cast(null as date) x FROM (VALUES (to_date('2026-03-30')), (to_date('2026-01-05')), (to_date('2026-03-28'))) v(d)"
+    ).select("d", qgp_week(F.col("d")).alias("w"))
+    got = {str(r["d"]): str(r["w"]) for r in df.collect()}
+    # 2026-03-30 is a Monday; next Saturday 2026-04-04 is past Q1 end → capped at 2026-03-31
+    assert got["2026-03-30"] == "2026-03-31"
+    # 2026-01-05 Monday → Saturday 2026-01-10
+    assert got["2026-01-05"] == "2026-01-10"
+    # 2026-03-28 is a Saturday → maps to itself
+    assert got["2026-03-28"] == "2026-03-28"
+
+
+def test_qgp_calendar_classification(spark):
+    cal = qgp_calendar(spark, "2026-01-01", "2026-06-30")
+    types = {r["week_type"] for r in cal.collect()}
+    assert "NORMAL" in types and "BOUNDARY_STUB" in types
+    stub = cal.filter("week_type='BOUNDARY_STUB'").collect()
+    assert all(r["days_in_period"] < 7 for r in stub)
+
+
+def test_text_operators(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="The cat sat on the mat and it was happy."),
+            Row(doc_id=2, text="Der Hund ist nicht auf der Couch und das ist gut."),
+            Row(doc_id=3, text="!!! ??? ###"),
+        ]
+    )
+    langs = {r["doc_id"]: r["lang"] for r in df.select("doc_id", language_id("text").alias("lang")).collect()}
+    assert langs[1] == "en" and langs[2] == "de" and langs[3] == "und"
+    toks = df.select(token_count("text").alias("n")).collect()
+    assert toks[0]["n"] > 8
+    scored = quality_score(df)
+    scores = {r["doc_id"]: r["q_score"] for r in scored.collect()}
+    assert scores[1] > scores[3]
+    sh = df.select(shingles("text", 3).alias("s")).first()["s"]
+    assert sh[0] == "the cat sat"
+
+
+def test_exact_and_minhash_dedupe(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again in the yard"
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content about spark partitions and shuffle behavior today"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base.upper()),  # exact dup after normalization
+            Row(doc_id=3, text=near),  # near dup
+            Row(doc_id=4, text=far),
+        ]
+    )
+    ex = dedupe_exact(df)
+    assert ex.count() == 3 and ex.filter("dup_count=2").first()["doc_id"] == 1
+
+    pairs = minhash_lsh_pairs(df, num_hashes=64, bands=16)
+    p = {(r["a"], r["b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert p[(1, 2)] == 1.0
+    assert (1, 3) in p and p[(1, 3)] > 0.4
+    assert (1, 4) not in p or p[(1, 4)] < 0.2
+
+    kept = dedupe_minhash(df, threshold=0.9, num_hashes=64, bands=16)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 2 not in ids and 1 in ids and 4 in ids
+
+
+def test_simhash_and_ngram_jaccard(spark):
+    base = "spark structured streaming applies micro batches to lake tables with merge semantics"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base.replace("lake", "delta")),
+            Row(doc_id=3, text="unrelated words entirely: bananas oranges apples grapes melons pears"),
+        ]
+    )
+    # short docs give noisy simhash: near pair ≈10 bits apart, unrelated ≈18+
+    sh = {(r["a"], r["b"]) for r in simhash_near_dups(df, bits=32, max_hamming=12).collect()}
+    assert (1, 2) in sh and (1, 3) not in sh and (2, 3) not in sh
+    nj = {(r["a"], r["b"]): r["jaccard"] for r in ngram_jaccard_pairs(df, min_jaccard=0.3).collect()}
+    assert (1, 2) in nj and (1, 3) not in nj
+
+
+def test_similarity_brute_and_lsh(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(60, 16).astype("float32")
+    vecs[1] = vecs[0] + 0.01 * rng.randn(16).astype("float32")  # near-dup of 0
+    corpus = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(60)]
+    )
+    queries = spark.createDataFrame([Row(query_id=0, embedding=[float(x) for x in vecs[0]])])
+    bf = brute_force_topk(corpus, queries, k=3)
+    top = [r["vec_id"] for r in bf.orderBy("rank").collect()]
+    assert top[0] == 0 and top[1] == 1  # self, then the near-dup
+
+    ann = lsh_ann_topk(corpus, queries, k=3, n_planes=6, n_tables=6)
+    ann_ids = [r["vec_id"] for r in ann.orderBy("rank").collect()]
+    assert 0 in ann_ids and 1 in ann_ids  # recall of the true near pair
+
+    nd = embedding_near_dups(corpus, min_cosine=0.99, n_planes=6, n_tables=6)
+    assert (0, 1) in {(r["a"], r["b"]) for r in nd.collect()}
+
+
+def test_multimodal_plumbing(spark):
+    media = synthetic_media(spark, 50)
+    feats = extract_features(media, fake_decode=True)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(len(r["feature"]) == 16 and r["n_bytes"] > 0 for r in rows)
+    frames = sample_frames(media, every_ms=5000)
+    assert frames.count() > 0
+    # decode stub must refuse real decoding loudly
+    from digital_analytics_data_platform_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xx", fake=False)

@@ -1,0 +1,89 @@
+"""Replay equivalence: full synthetic CDC logs through the engine must
+match the trivially-correct DuckDB reducer byte-for-byte on per-turn
+text under stable (conv_id, turn_idx) order — the north-rule gate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from digital_analytics_data_platform_spark import datagen
+from digital_analytics_data_platform_spark.lake import merge_changes
+from tests.conftest import assert_state_equal, oracle_state
+
+
+def run_replay(spark, make_table, n_events, n_batches, **gen_kw):
+    log = datagen.change_log(spark, n_events, **gen_kw)
+    tbl = make_table()
+    for i in range(n_batches):
+        lo, hi = i * n_events // n_batches, (i + 1) * n_events // n_batches
+        merge_changes(
+            spark,
+            tbl,
+            log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi)),
+            batch_key=f"replay:{i}",
+        )
+    got = tbl.read(spark).orderBy("conv_id", "turn_idx").toPandas()
+    exp = oracle_state(log.toPandas())
+    assert_state_equal(got, exp)
+    return tbl
+
+
+def test_replay_small(spark, make_table):
+    run_replay(spark, make_table, 5_000, 3, n_convs=100, turns_per_conv=10)
+
+
+def test_replay_hot_keys(spark, make_table):
+    # 60% of events hit one conversation — the skew case
+    run_replay(spark, make_table, 8_000, 4, n_convs=50, turns_per_conv=20, hot_key_frac=0.6)
+
+
+def test_replay_heavy_churn(spark, make_table):
+    # few keys, many updates/deletes/dups → every key rewritten many times
+    run_replay(
+        spark,
+        make_table,
+        6_000,
+        3,
+        n_convs=10,
+        turns_per_conv=5,
+        delete_frac=0.15,
+        dup_frac=0.2,
+    )
+
+
+def test_replay_unordered_batches(spark, make_table):
+    # batches applied out of global order: 2,0,1 — final state identical
+    n = 6_000
+    log = datagen.change_log(spark, n, n_convs=80, turns_per_conv=10)
+    tbl = make_table()
+    for i in (2, 0, 1):
+        lo, hi = i * n // 3, (i + 1) * n // 3
+        merge_changes(
+            spark, tbl, log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi)), batch_key=f"o:{i}"
+        )
+    got = tbl.read(spark).orderBy("conv_id", "turn_idx").toPandas()
+    assert_state_equal(got, oracle_state(log.toPandas()))
+
+
+def test_replay_with_schema_evolution(spark, make_table):
+    """First half of the log physically lacks the `tool` column."""
+    from tests.conftest import TRANSCRIPT_SCHEMA
+    import pyspark.sql.types as T
+
+    n = 6_000
+    log = datagen.change_log(spark, n, n_convs=60, turns_per_conv=10, tool_from_frac=0.5)
+    pre, post = datagen.split_for_schema_evolution(log, n, 0.5)
+    tbl = make_table(schema=T.StructType([f for f in TRANSCRIPT_SCHEMA.fields if f.name != "tool"]))
+    merge_changes(spark, tbl, pre, batch_key="pre")
+    merge_changes(spark, tbl, post, batch_key="post")
+    got = tbl.read(spark).orderBy("conv_id", "turn_idx").toPandas()
+    exp = oracle_state(log.toPandas())
+    assert_state_equal(got, exp)
+    assert got["tool"].notna().sum() > 0
+
+
+def test_generator_is_deterministic(spark):
+    a = datagen.change_log(spark, 2_000, seed=7).toPandas()
+    b = datagen.change_log(spark, 2_000, seed=7).toPandas()
+    assert a.equals(b)
+    c = datagen.change_log(spark, 2_000, seed=8).toPandas()
+    assert not a.equals(c)

@@ -1,35 +1,84 @@
 """Similarity search over embedding columns (array<float>).
 
 Baseline: brute-force cosine top-k — exact, one broadcast of the query
-set, dot products via ``zip_with``/``aggregate`` (codegen'd, no UDF).
+set, cosine via an Arrow-vectorized pandas UDF (each batch becomes a
+numpy matrix; the dot products are one BLAS call — this beats Spark's
+higher-order array functions, which are evaluated interpreted per
+element, by orders of magnitude and is exactly the "vectorized
+pandas/Arrow UDFs, no per-row Python" contract from BASELINE.json).
 Scale path: LSH-bucketed ANN (random-hyperplane signs) — candidates
-share a bucket, exact rerank within buckets; probes in neighboring
-bands trade recall for cost. An IVF variant (k-means coarse quantizer)
-is the natural next step but needs an iterative trainer; the LSH path
-covers the ANN contract without per-row Python.
+share a bucket, exact cosine rerank within buckets; recall grows with
+the number of independent tables while cost stays candidates-only
+(never all-pairs). An IVF variant (k-means coarse quantizer) is the
+natural next step but needs an iterative trainer; the LSH path covers
+the ANN contract without per-row Python.
+
+Reference analog: the AI-extraction workflow's page-level embedding
+lookups (``workflows/01_competitive_offers_ai_extraction/notebooks/
+01_Notebook_v8.ipynb``) generalized to corpus scale.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _mat(s: pd.Series):
+    """Arrow list column → 2-D float64 numpy matrix (one conversion per
+    batch, then everything is BLAS)."""
+    import numpy as np
+
+    if len(s) == 0:
+        return np.zeros((0, 1), dtype=np.float64)
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in s], dtype=np.float64)
+
+
+def _cosine_fn(a: pd.Series, b: pd.Series) -> pd.Series:
+    import numpy as np
+
+    A, B = _mat(a), _mat(b)
+    num = (A * B).sum(axis=1)
+    den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+    out = np.where(den > 0, num / np.where(den == 0, 1.0, den), np.nan)
+    return pd.Series(out)
+
+
+def _dot_fn(a: pd.Series, b: pd.Series) -> pd.Series:
+    A, B = _mat(a), _mat(b)
+    return pd.Series((A * B).sum(axis=1))
+
+
+# pandas_udf parses the return-type DDL against the active session, so
+# construct lazily (module import must not require a SparkContext).
+_UDF_CACHE: dict = {}
+
+
+def _udf(name: str, fn, rtype: str):
+    if name not in _UDF_CACHE:
+        _UDF_CACHE[name] = pandas_udf(rtype)(fn)
+    return _UDF_CACHE[name]
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-    )
+    return _udf("dot", _dot_fn, "double")(a, b)
 
 
 def l2_norm(a: Column | str) -> Column:
+    """Pure column expression (kept codegen'd — it's cheap and used in
+    projections where a UDF would force an exchange of the array)."""
     a = F.col(a) if isinstance(a, str) else a
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return _udf("cosine", _cosine_fn, "double")(a, b)
 
 
 def brute_force_topk(
@@ -56,37 +105,50 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def hyperplane_bucket(vec_col: str, *, n_planes: int = 12, seed: int = 42, dim: int | None = None) -> Column:
-    """Random-hyperplane LSH bucket id: sign bits of dot(vec, h_i) for
-    deterministic pseudo-random hyperplanes h_i derived from
-    xxhash64(i, j, seed) — no stored model, same bucket function on any
-    executor."""
-    v = F.col(vec_col)
+def hyperplane_bucket_udf(n_planes: int = 12, seed: int = 42):
+    """Random-hyperplane LSH bucket id as an Arrow-vectorized UDF: sign
+    bits of vec @ H where H is a deterministic Gaussian plane matrix
+    derived from (seed, dim) — no stored model, identical buckets on
+    every executor and every run (replay determinism)."""
 
-    def plane_sign(i: int):
-        # h_i[j] in {-1, +1} from hash of (plane, component); closure
-        # factory keeps the lambda unary (a default arg would make
-        # PySpark bind the array index over it)
-        return lambda j: F.when(
-            F.pmod(F.xxhash64(F.lit(i), j, F.lit(seed)), F.lit(2)) == 0, F.lit(-1.0)
-        ).otherwise(F.lit(1.0))
+    def bucket_fn(v: pd.Series) -> pd.Series:
+        import numpy as np
 
-    bits = []
-    for i in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.transform(F.sequence(F.lit(0), F.size(v) - 1), plane_sign(i)),
-                lambda x, h: x * h,
-            ),
-            F.lit(0.0),
-            lambda acc, val: acc + val,
-        )
-        bits.append(F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+        A = _mat(v)
+        if A.shape[0] == 0:
+            return pd.Series([], dtype="int64")
+        rng = np.random.RandomState((seed * 1_000_003 + A.shape[1]) % (2**31 - 1))
+        H = rng.standard_normal((A.shape[1], n_planes))
+        bits = (A @ H > 0).astype(np.int64)
+        weights = np.left_shift(np.int64(1), np.arange(n_planes, dtype=np.int64))
+        return pd.Series(bits @ weights)
+
+    return _udf(f"hyperplane_{n_planes}_{seed}", bucket_fn, "long")
+
+
+def hyperplane_bucket(vec_col: str, *, n_planes: int = 12, seed: int = 42) -> Column:
+    return hyperplane_bucket_udf(n_planes=n_planes, seed=seed)(F.col(vec_col))
+
+
+def _with_buckets(df: DataFrame, idc: str, vec_col: str, n_planes: int, n_tables: int, seed: int) -> DataFrame:
+    """Attach (tbl, bucket) per table; one UDF call per table (each a
+    single matrix multiply per Arrow batch), then explode."""
+    b = df.select(
+        F.col(idc),
+        F.col(vec_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        hyperplane_bucket(vec_col, n_planes=n_planes, seed=seed + 1000 * t).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("_b"),
+    )
+    return b.select(idc, vec_col, F.col("_b.tbl").alias("tbl"), F.col("_b.bucket").alias("bucket"))
 
 
 def lsh_ann_topk(
@@ -103,27 +165,10 @@ def lsh_ann_topk(
 ) -> DataFrame:
     """Approximate top-k: ``n_tables`` independent hyperplane tables,
     join corpus↔queries on (table, bucket), exact cosine rerank within
-    candidates. Recall grows with n_tables; cost stays
-    candidates-only (never all-pairs)."""
-    def with_buckets(df, idc):
-        return df.select(
-            F.col(idc),
-            F.col(vec_col),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("tbl"),
-                            hyperplane_bucket(vec_col, n_planes=n_planes, seed=seed + 1000 * t).alias("bucket"),
-                        )
-                        for t in range(n_tables)
-                    ]
-                )
-            ).alias("_b"),
-        ).select(idc, vec_col, F.col("_b.tbl").alias("tbl"), F.col("_b.bucket").alias("bucket"))
-
-    c = with_buckets(corpus, id_col)
-    q = with_buckets(queries.withColumnRenamed(vec_col, vec_col), query_id_col).withColumnRenamed(
+    candidates. At 100 TB this is the only viable shape: the join is a
+    shuffle on (tbl, bucket) and never materializes all pairs."""
+    c = _with_buckets(corpus, id_col, vec_col, n_planes, n_tables, seed)
+    q = _with_buckets(queries, query_id_col, vec_col, n_planes, n_tables, seed).withColumnRenamed(
         vec_col, "_qvec"
     )
     cands = (
@@ -147,22 +192,9 @@ def embedding_near_dups(
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (LSH-bucketed): pairs in a
-    shared bucket with cosine above threshold."""
-    b = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        hyperplane_bucket(vec_col, n_planes=n_planes, seed=seed + 1000 * t).alias("bucket"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("_b"),
-    ).select(id_col, vec_col, F.col("_b.tbl").alias("tbl"), F.col("_b.bucket").alias("bucket"))
+    shared bucket with cosine above threshold. Self-join shuffles on
+    (tbl, bucket) only — the all-pairs explosion never happens."""
+    b = _with_buckets(df, id_col, vec_col, n_planes, n_tables, seed)
     l = b.select("tbl", "bucket", F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     r = b.select("tbl", "bucket", F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     return (

@@ -18,7 +18,7 @@ from .operators.asof import asof_join
 from .operators.calendar import qgp_week
 from .operators.dedupe import dedupe_lww, dedupe_lww_window, first_event_pick
 from .operators.reshape import pivot_agg, spine_join, unpivot
-from .operators.similarity import brute_force_topk, cosine
+from .operators.similarity import brute_force_topk, cosine, embedding_near_dups
 from .operators.text import language_id, normalize_text, token_count
 
 
@@ -425,6 +425,76 @@ FROM facts f
 """
 
 
+# J3 — full outer join chain with COALESCE'd key
+# ref: sql/18_SDI_PULSE_BYOD/03_GOLD/01_vw_sdi_pulseByod_gold_unified_wide.sql:269-276
+def q_j3_full_outer_chain(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter("event_type = 'view'").groupBy(F.col("user_id").alias("k_a")).agg(
+        F.round(F.sum("value"), 4).alias("view_value")
+    )
+    b = ev.filter("event_type = 'click'").groupBy(F.col("user_id").alias("k_b")).agg(
+        F.round(F.sum("value"), 4).alias("click_value")
+    )
+    c = ev.filter("event_type = 'purchase'").groupBy(F.col("user_id").alias("k_c")).agg(
+        F.round(F.sum("value"), 4).alias("purchase_value")
+    )
+    ab = a.join(b, a.k_a == b.k_b, "full_outer").select(
+        F.coalesce("k_a", "k_b").alias("k_ab"), "view_value", "click_value"
+    )
+    return ab.join(c, ab.k_ab == c.k_c, "full_outer").select(
+        F.coalesce("k_ab", "k_c").alias("user_id"), "view_value", "click_value", "purchase_value"
+    )
+
+
+SQL_J3 = """
+WITH a AS (SELECT user_id AS k_a, round(sum(value), 4) AS view_value FROM events WHERE event_type = 'view' GROUP BY 1),
+     b AS (SELECT user_id AS k_b, round(sum(value), 4) AS click_value FROM events WHERE event_type = 'click' GROUP BY 1),
+     c AS (SELECT user_id AS k_c, round(sum(value), 4) AS purchase_value FROM events WHERE event_type = 'purchase' GROUP BY 1)
+SELECT coalesce(k_ab, k_c) AS user_id, view_value, click_value, purchase_value
+FROM (
+  SELECT coalesce(k_a, k_b) AS k_ab, view_value, click_value
+  FROM a FULL OUTER JOIN b ON k_a = k_b
+) ab FULL OUTER JOIN c ON k_ab = k_c
+"""
+
+
+# J5 — self-join for week-over-week comparison (explicit self-join form;
+# the LAG form is w5_wow_lag)
+# ref: sql/18_SDI_PULSE_BYOD/02_SILVER/03_…sa360_weekly.sql:137-176
+def q_j5_wow_self_join(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        F.weekofyear("ts").alias("week_num"), "event_type"
+    ).agg(F.round(F.sum("value"), 4).alias("week_value"))
+    prior = weekly.select(
+        (F.col("week_num") + 1).alias("week_num"),
+        F.col("event_type"),
+        F.col("week_value").alias("prior_week_value"),
+    )
+    return (
+        weekly.join(prior, ["week_num", "event_type"], "left")
+        .select(
+            "week_num",
+            "event_type",
+            "week_value",
+            "prior_week_value",
+            F.round(F.col("week_value") - F.col("prior_week_value"), 4).alias("wow_delta"),
+        )
+    )
+
+
+SQL_J5 = """
+WITH weekly AS (
+  SELECT weekofyear(ts) AS week_num, event_type, round(sum(value), 4) AS week_value
+  FROM events GROUP BY 1, 2
+)
+SELECT c.week_num, c.event_type, c.week_value, p.week_value AS prior_week_value,
+       round(c.week_value - p.week_value, 4) AS wow_delta
+FROM weekly c LEFT JOIN weekly p
+  ON p.week_num = c.week_num - 1 AND p.event_type = c.event_type
+"""
+
+
 # J4/T5 — key-spine + defensive left joins
 # ref: sql/12_SDI_TOTALSEARCH/03_GOLD/01_vw_sdi_tsd_gold_unified_daily.sql:26-77
 def q_j4_spine_join(spark, sf_dir):
@@ -510,6 +580,63 @@ SELECT user_id, metric_name, metric_value FROM (
 """
 
 
+# T3 — UNION ALL normalization: stack per-metric selects into long rows
+# ref: sql/19_SDI_PULSE_TMS_v2/01_BRONZE/02_…adobeFunnel_weekly.sql:32-60
+def q_t3_union_normalize(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.groupBy(F.col("l_orderkey").alias("orderkey"))
+    qty = base.agg(F.round(F.sum("l_quantity"), 4).alias("metric_value")).select(
+        "orderkey", F.lit("qty").alias("metric_name"), "metric_value"
+    )
+    price = base.agg(F.round(F.sum("l_extendedprice"), 4).alias("metric_value")).select(
+        "orderkey", F.lit("price").alias("metric_name"), "metric_value"
+    )
+    tax = base.agg(F.round(F.sum("l_tax"), 4).alias("metric_value")).select(
+        "orderkey", F.lit("tax").alias("metric_name"), "metric_value"
+    )
+    from .operators.reshape import union_by_name
+
+    return union_by_name([qty, price, tax])
+
+
+SQL_T3 = """
+SELECT l_orderkey AS orderkey, 'qty' AS metric_name, round(sum(l_quantity), 4) AS metric_value FROM lineitem GROUP BY 1
+UNION ALL
+SELECT l_orderkey, 'price', round(sum(l_extendedprice), 4) FROM lineitem GROUP BY 1
+UNION ALL
+SELECT l_orderkey, 'tax', round(sum(l_tax), 4) FROM lineitem GROUP BY 1
+"""
+
+
+# T10/J8 — generated date spine broadcast-joined to facts
+# ref: sql/01_common/01_vw_qgp_calendar.sql:10-13; sql/19_…/02_SILVER/04_…:39-42
+def q_t10_date_spine(spark, sf_dir):
+    from .operators.reshape import date_spine
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"), F.max(F.col("ts").cast("date")).alias("hi")
+    ).collect()[0]
+    spine = date_spine(spark, str(bounds["lo"]), str(bounds["hi"]))
+    return (
+        F.broadcast(spine)
+        .join(daily, "d", "left")
+        .select("d", F.coalesce("n_events", F.lit(0)).alias("n_events"))
+    )
+
+
+SQL_T10 = """
+WITH bounds AS (SELECT min(ts::date) AS lo, max(ts::date) AS hi FROM events),
+     spine AS (SELECT unnest(generate_series((SELECT lo FROM bounds), (SELECT hi FROM bounds), INTERVAL 1 DAY))::date AS d),
+     daily AS (SELECT ts::date AS d, count(*) AS n_events FROM events GROUP BY 1)
+SELECT spine.d, coalesce(daily.n_events, 0) AS n_events
+FROM spine LEFT JOIN daily USING (d)
+"""
+
+
 # T9 — EXCEPT / INTERSECT
 def q_t9_except_intersect(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
@@ -559,6 +686,99 @@ SELECT p_partkey,
        upper(substring(p_name, 1, 8)) AS name_prefix,
        lpad(p_size::varchar, 4, '0') AS size_padded
 FROM part
+"""
+
+
+# W7 — RANK / DENSE_RANK
+# ref: sql/17_SDI_PULSE_APPENDIX (QA/appendix queries)
+def q_w7_rank(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.trunc("o_orderdate", "month").alias("month"), "o_orderpriority"
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("month_total"))
+    w = Window.partitionBy("month").orderBy(F.col("month_total").desc())
+    return monthly.select(
+        "month",
+        "o_orderpriority",
+        "month_total",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+SQL_W7 = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate)::date AS month, o_orderpriority,
+         round(sum(o_totalprice), 2) AS month_total
+  FROM orders GROUP BY 1, 2
+)
+SELECT month, o_orderpriority, month_total,
+       rank() OVER (PARTITION BY month ORDER BY month_total DESC) AS rnk,
+       dense_rank() OVER (PARTITION BY month ORDER BY month_total DESC) AS drnk
+FROM monthly
+"""
+
+
+# A3/A4/A5 — conditional metric extraction + flag agg + lineage min/max
+# ref: sql/19_SDI_PULSE_TMS_v1 (Databricks)/04_TEST/test_qgp_end_to_end_…sql:38-90;
+#      …weekly.sql:69-78,143
+def q_a3_metric_extraction(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.round(F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_extendedprice"))), 2).alias("finished_price"),
+        F.round(F.sum(F.when((F.col("l_linestatus") == "O") & (F.col("l_discount") > 0.05), F.col("l_extendedprice"))), 2).alias("open_discounted_price"),
+        (F.max(F.when(F.col("l_tax") > 0.07, F.lit(1)).otherwise(F.lit(0))) == 1).alias("has_high_tax"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+SQL_A3 = """
+SELECT l_returnflag AS flag,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 2) AS finished_price,
+       round(sum(CASE WHEN l_linestatus = 'O' AND l_discount > 0.05 THEN l_extendedprice END), 2) AS open_discounted_price,
+       max(CASE WHEN l_tax > 0.07 THEN 1 ELSE 0 END) = 1 AS has_high_tax,
+       min(l_shipdate) AS first_ship,
+       max(l_shipdate) AS last_ship
+FROM lineitem GROUP BY 1
+"""
+
+
+# P10 — date/time function battery
+# ref: sql/01_common/00_fn_qgp_week.sql:22-23; …00_sdi_vw_mfc_dim_qgp_calendar.sql:58-75
+def q_p10_date_functions(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("d")
+    return (
+        o.select(F.col("o_orderdate").cast("date").alias("d"))
+        .distinct()
+        .select(
+            "d",
+            F.date_add(d, 7).alias("plus_week"),
+            F.date_sub(d, 30).alias("minus_30"),
+            F.datediff(F.lit("1998-12-31").cast("date"), d).alias("days_to_eoy98"),
+            F.trunc(d, "quarter").alias("quarter_start"),
+            F.last_day(d).alias("month_end"),
+            F.date_sub(F.add_months(F.trunc(d, "quarter"), 3), 1).alias("quarter_end"),
+            F.dayofweek(d).alias("dow"),
+            F.quarter(d).alias("q"),
+            F.date_format(d, "yyyyMMdd").alias("yyyymmdd"),
+        )
+    )
+
+
+SQL_P10 = """
+SELECT d,
+       (d + INTERVAL 7 DAY)::date AS plus_week,
+       (d - INTERVAL 30 DAY)::date AS minus_30,
+       date_diff('day', d, DATE '1998-12-31') AS days_to_eoy98,
+       date_trunc('quarter', d)::date AS quarter_start,
+       last_day(d) AS month_end,
+       (date_trunc('quarter', d) + INTERVAL 3 MONTH - INTERVAL 1 DAY)::date AS quarter_end,
+       (extract(dow FROM d)::int + 1) AS dow,
+       extract(quarter FROM d)::int AS q,
+       strftime(d, '%Y%m%d') AS yyyymmdd
+FROM (SELECT DISTINCT o_orderdate::date AS d FROM orders)
 """
 
 
@@ -650,6 +870,151 @@ FROM documents GROUP BY 1
 """
 
 
+def q_text_quality_score(spark, sf_dir):
+    from .operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    out = quality_score(d.select("doc_id", "text"))
+    return out.select(
+        "doc_id",
+        "q_chars",
+        "q_words",
+        F.round("q_punct_ratio", 6).alias("punct_ratio"),
+        F.round("q_digit_ratio", 6).alias("digit_ratio"),
+        F.round("q_stopword_ratio", 6).alias("stopword_ratio"),
+        "q_score",
+    )
+
+
+_EN_STOP_RE = r"\b(the|and|of|to|is|in|that|it|was|for)\b"
+
+SQL_QUALITY = rf"""
+WITH feats AS (
+  SELECT doc_id,
+         length(text) AS q_chars,
+         len(regexp_extract_all(text, '[\p{{L}}]+')) AS q_words,
+         len(regexp_extract_all(text, '[[:punct:]]')) AS n_punct,
+         len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+         len(regexp_extract_all(lower(text), '{_EN_STOP_RE}')) AS n_stop
+  FROM documents
+), ratios AS (
+  SELECT doc_id, q_chars, q_words,
+         n_punct / nullif(q_chars, 0) AS punct_ratio,
+         n_digit / nullif(q_chars, 0) AS digit_ratio,
+         n_stop / nullif(q_words, 0) AS stopword_ratio
+  FROM feats
+)
+SELECT doc_id, q_chars, q_words,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(digit_ratio, 6) AS digit_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(
+         least(1.0, q_words / 20.0) * 0.4
+         + least(1.0, coalesce(stopword_ratio, 0.0) * 5.0) * 0.3
+         + (1.0 - least(1.0, coalesce(punct_ratio, 0.0) * 4.0)) * 0.15
+         + (1.0 - least(1.0, coalesce(digit_ratio, 0.0) * 4.0)) * 0.15,
+         6) AS q_score
+FROM ratios
+"""
+
+
+def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: full-doc content hash + winnowing-style
+    rolling min-hash over word 5-shingles. No SQL oracle (xxhash64 is
+    Spark-specific); determinism + collision behavior covered by
+    tests/test_operators.py."""
+    from .operators.text import fingerprint, shingles
+
+    d = _t(spark, sf_dir, "documents")
+    sh = shingles("text", k=5)
+    return d.select(
+        "doc_id",
+        fingerprint("text").alias("content_fp"),
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s))).alias("rolling_min_fp"),
+    )
+
+
+def q_embedding_cosine_pairs(spark, sf_dir):
+    """Embedding-cosine similar-pairs, exact (brute-force a<b); the
+    LSH-bucketed scale path is q_embedding_near_dups_lsh. Threshold 0.4
+    because the synthetic embeddings carry no true near-dups (max
+    pairwise cosine ≈ 0.5/0.6 at sf0.01/0.1) — semantics identical."""
+    e = _t(spark, sf_dir, "embeddings")
+    l = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    r = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    return (
+        l.join(r, F.col("a") < F.col("b"))
+        .select("a", "b", cosine("va", "vb").alias("cos"))
+        .filter(F.col("cos") >= 0.4)
+        .select("a", "b", F.round("cos", 4).alias("cosine"))
+    )
+
+
+SQL_EMB_PAIRS = """
+SELECT a, b, round(cos, 4) AS cosine FROM (
+  SELECT l.vec_id AS a, r.vec_id AS b,
+         list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) AS cos
+  FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+) WHERE cos >= 0.4
+"""
+
+
+def q_embedding_near_dups_lsh(spark, sf_dir):
+    """LSH-bucketed variant of embedding similar-pairs (the 100 TB
+    scale path: bucket-join instead of all-pairs). Approximate → no SQL
+    oracle; recall vs brute force covered by tests."""
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(e, min_cosine=0.4, n_planes=6, n_tables=8).select(
+        "a", "b", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def q_gold_weekly_long(spark, sf_dir):
+    """End-to-end Gold path: daily facts → QGP-week rollup (wide) →
+    unpivot long, the reference's daily→weekly→long chain in one plan.
+    ref: sql/02_SDI_SA360/03_GOLD/MERGE/01_sp_merge_sdi_gold_sa360_campaign_weekly.sql:63-147
+    + …daily_long.sql:48-66."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.sum("value").alias("day_value"), F.count(F.lit(1)).alias("day_events"))
+    weekly = (
+        daily.withColumn("qgp_week", qgp_week(F.col("day")))
+        .groupBy("qgp_week", "event_type")
+        .agg(
+            F.round(F.sum("day_value"), 4).alias("sum_value"),
+            F.sum("day_events").cast("double").alias("n_events"),
+        )
+    )
+    return unpivot(weekly, ["qgp_week", "event_type"], ["sum_value", "n_events"])
+
+
+SQL_GOLD_LONG = """
+WITH daily AS (
+  SELECT ts::date AS day, event_type, sum(value) AS day_value, count(*) AS day_events
+  FROM events GROUP BY 1, 2
+), qgp AS (
+  SELECT *,
+         CASE WHEN qe < sat THEN qe ELSE sat END AS qgp_week
+  FROM (
+    SELECT day, event_type, day_value, day_events,
+           (day + ((6 - extract(isodow FROM day)::int % 7 + 7) % 7))::date AS sat,
+           (date_trunc('quarter', day) + INTERVAL 3 MONTH - INTERVAL 1 DAY)::date AS qe
+    FROM daily
+  )
+), weekly AS (
+  SELECT qgp_week, event_type, round(sum(day_value), 4) AS sum_value,
+         sum(day_events)::double AS n_events
+  FROM qgp GROUP BY 1, 2
+)
+SELECT qgp_week, event_type, metric_name, metric_value FROM (
+  SELECT qgp_week, event_type, 'sum_value' AS metric_name, sum_value AS metric_value FROM weekly
+  UNION ALL SELECT qgp_week, event_type, 'n_events', n_events FROM weekly
+) WHERE metric_value IS NOT NULL
+"""
+
+
 def q_ann_brute_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5).select(
@@ -736,19 +1101,31 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a10_anomaly": q_a10_anomaly,
     "a11_ratio_allocation": q_a11_ratio_allocation,
     "a12_proration": q_a12_proration,
+    "a3_metric_extraction": q_a3_metric_extraction,
     "j1_enrichment_join": q_j1_enrichment_join,
     "j2_asof_join": q_j2_asof_join,
+    "j3_full_outer_chain": q_j3_full_outer_chain,
     "j4_spine_join": q_j4_spine_join,
+    "j5_wow_self_join": q_j5_wow_self_join,
     "j7_latest_semijoin": q_j7_latest_semijoin,
     "anti_semi_join": q_anti_semi_join,
+    "t3_union_normalize": q_t3_union_normalize,
     "t6_unpivot": q_t6_unpivot,
     "t9_except_intersect": q_t9_except_intersect,
+    "t10_date_spine": q_t10_date_spine,
+    "w7_rank": q_w7_rank,
     "p_defensive_projection": q_p_defensive_projection,
+    "p10_date_functions": q_p10_date_functions,
     "qgp_week": q_qgp_week,
+    "gold_weekly_long": q_gold_weekly_long,
     "text_language_id": q_text_language_id,
     "text_token_count": q_text_token_count,
     "text_exact_dedupe": q_text_exact_dedupe,
+    "text_quality_score": q_text_quality_score,
+    "text_fingerprint": q_text_fingerprint,
     "ann_brute_topk": q_ann_brute_topk,
+    "embedding_cosine_pairs": q_embedding_cosine_pairs,
+    "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
     "ngram_jaccard": q_ngram_jaccard,
@@ -781,8 +1158,18 @@ ORACLES: dict[str, str] = {
     "t9_except_intersect": SQL_T9,
     "p_defensive_projection": SQL_P,
     "qgp_week": SQL_QGP,
+    "a3_metric_extraction": SQL_A3,
+    "j3_full_outer_chain": SQL_J3,
+    "j5_wow_self_join": SQL_J5,
+    "t3_union_normalize": SQL_T3,
+    "t10_date_spine": SQL_T10,
+    "w7_rank": SQL_W7,
+    "p10_date_functions": SQL_P10,
+    "gold_weekly_long": SQL_GOLD_LONG,
     "text_language_id": _duck_lang_sql(),
     "text_token_count": SQL_TOKENS,
     "text_exact_dedupe": SQL_EXACT_DEDUPE,
+    "text_quality_score": SQL_QUALITY,
     "ann_brute_topk": SQL_ANN_BRUTE,
+    "embedding_cosine_pairs": SQL_EMB_PAIRS,
 }

@@ -50,8 +50,16 @@ BENCH_QUERIES = [
 ]
 
 
-def run_apply_bench(spark, n_events: int, n_batches: int, n_buckets: int) -> dict:
+def run_apply_bench(
+    spark, n_events: int, n_batches: int, n_buckets: int, strategy: str = "mor", compact_every: int = 0
+) -> dict:
+    """CDC apply replay. ``strategy='mor'`` is the sustained-throughput
+    production path (O(batch) appends + read-time LWW); a final compact
+    folds deltas down and its cost is reported separately. 'cow'
+    measures the read-optimized rewrite path."""
     from pyspark.sql import types as T
+
+    from digital_analytics_data_platform_spark.lake import compact as compact_fn
 
     tmp = tempfile.mkdtemp(prefix="bench_lake_")
     schema = T.StructType(
@@ -81,18 +89,27 @@ def run_apply_bench(spark, n_events: int, n_batches: int, n_buckets: int) -> dic
         hi = (i + 1) * n_events // n_batches
         batch = log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
         t0 = time.monotonic()
-        merge_changes(spark, tbl, batch, batch_key=f"bench:{i}")
+        merge_changes(spark, tbl, batch, batch_key=f"bench:{i}", strategy=strategy)
         batch_walls.append(time.monotonic() - t0)
+        if compact_every and (i + 1) % compact_every == 0:
+            compact_fn(spark, tbl)
+    t0 = time.monotonic()
+    final_rows = compact_fn(spark, tbl) if strategy == "mor" else tbl.total_rows()
+    compact_wall = time.monotonic() - t0
     shutil.rmtree(tmp, ignore_errors=True)
     steady = batch_walls[1:] if len(batch_walls) > 1 else batch_walls
     steady_events = n_events - n_events // n_batches if len(batch_walls) > 1 else n_events
     return {
+        "apply_strategy": strategy,
         "apply_events": n_events,
         "apply_batches": n_batches,
+        "apply_final_rows": final_rows,
         "apply_wall_s": round(sum(batch_walls), 3),
+        "apply_compact_wall_s": round(compact_wall, 3),
         "apply_batch_walls_s": [round(w, 3) for w in batch_walls],
         "apply_events_per_sec_steady": round(steady_events / sum(steady), 1),
         "apply_events_per_sec_total": round(n_events / sum(batch_walls), 1),
+        "apply_events_per_sec_incl_compact": round(n_events / (sum(batch_walls) + compact_wall), 1),
     }
 
 
@@ -102,13 +119,17 @@ def main() -> None:
     n_events = int(os.environ.get("BENCH_EVENTS", "2000000"))
     n_batches = int(os.environ.get("BENCH_BATCHES", "5"))
     n_buckets = int(os.environ.get("BENCH_BUCKETS", "64"))
+    strategy = os.environ.get("BENCH_STRATEGY", "mor")
+    compact_every = int(os.environ.get("BENCH_COMPACT_EVERY", "0"))
 
     spark = get_spark("dadp-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.range(1).count()  # JVM warmup tick
 
     from digital_analytics_data_platform_spark.queries import REGISTRY
 
-    apply_stats = run_apply_bench(spark, n_events, n_batches, n_buckets)
+    apply_stats = run_apply_bench(
+        spark, n_events, n_batches, n_buckets, strategy=strategy, compact_every=compact_every
+    )
 
     q_times: dict[str, float] = {"cdc_apply": apply_stats["apply_wall_s"]}
     for name in BENCH_QUERIES:

@@ -19,7 +19,7 @@ small lakehouse layer with the same guarantees the reference relies on
   applies, and per-bucket lineage metrics.
 """
 
-from .table import LakeTable
-from .merge import merge_changes, MergeResult
+from .table import LakeTable, lww_collapse
+from .merge import merge_changes, compact, expire_tombstones, MergeResult
 
-__all__ = ["LakeTable", "merge_changes", "MergeResult"]
+__all__ = ["LakeTable", "lww_collapse", "merge_changes", "compact", "expire_tombstones", "MergeResult"]

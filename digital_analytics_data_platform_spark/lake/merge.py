@@ -53,7 +53,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
-from .table import DELETED_COL, LakeTable
+from .table import DELETED_COL, LakeTable, lww_collapse
 
 _LEDGER_KEY = "ledger"
 _LEDGER_MAX = 1024  # retained ledger entries; older batches are protected by LWW idempotence anyway
@@ -68,8 +68,10 @@ class MergeResult:
     inserts: int = 0
     updates: int = 0
     deletes: int = 0
+    upserts: int = 0  # MOR mode: batch winners incl. updates-of-unknown-keys
     keys_written: int = 0
     affected_buckets: list[int] = field(default_factory=list)
+    strategy: str = "cow"
     wall_s: float = 0.0
 
 
@@ -85,9 +87,25 @@ def merge_changes(
     batch_key: str | None = None,
     write_salt: int = 1,
     quarantine: bool = True,
+    strategy: str = "cow",
 ) -> MergeResult:
     """Apply one micro-batch of CDC events (schema: key cols + payload +
-    order cols + optional ``op``/``commit_lsn``) to ``table``."""
+    order cols + optional ``op``/``commit_lsn``) to ``table``.
+
+    ``strategy``:
+
+    - ``"cow"`` (copy-on-write): union existing rows of affected buckets
+      with the batch, collapse LWW, rewrite those buckets. Read-optimal;
+      write cost grows with table size once batches touch every bucket.
+    - ``"mor"`` (merge-on-read): collapse the batch alone and *append*
+      the winners as bucketed delta files — apply cost is O(batch)
+      regardless of table size (the Iceberg/Hudi merge-on-read shape;
+      the sustained-throughput path for a 10^10-event replay). Reads
+      collapse versions on the fly until :func:`compact` folds the
+      deltas down. Exactly-once, tombstones, schema evolution and
+      quarantine behave identically; replaying the same events is
+      harmless because read-time LWW is idempotent.
+    """
     t0 = time.monotonic()
     snap = table.snapshot()
     key_cols = snap.key_cols
@@ -173,8 +191,15 @@ def merge_changes(
 
     clean = staged.filter(F.col("_bucket") >= 0)
 
+    if strategy == "mor":
+        return _merge_mor(
+            spark, table, clean, snap, evolved_fields, evolved_schema, ledger,
+            batch_key, fingerprint, max_commit, write_salt,
+            events_in, n_quarantined, affected, staged, t0,
+        )
+
     # ---- union existing + batch, one LWW hash-agg ------------------------
-    existing = table.read(spark, buckets=affected, include_deleted=True)
+    existing = table.read(spark, buckets=affected, include_deleted=True, collapse=False)
     for f_ in evolved_fields:  # old files lack newly-evolved columns
         if f_.name not in existing.columns:
             existing = existing.withColumn(f_.name, F.lit(None).cast(f_.dataType))
@@ -243,6 +268,10 @@ def merge_changes(
         }
         for r in lineage_rows
     ]
+    # COW rewrite folds any merge-on-read deltas of these buckets down
+    delta_buckets = dict(snap.props.get("delta_buckets", {}))
+    for b in affected:
+        delta_buckets.pop(str(b), None)
     new_snap = table.commit(
         new_files=new_files,
         replaced_buckets=affected,
@@ -251,6 +280,7 @@ def merge_changes(
         props_update={
             _LEDGER_KEY: ledger,
             "max_commit_lsn": max(max_commit, int(snap.props.get("max_commit_lsn", 0))),
+            "delta_buckets": delta_buckets,
         },
         lineage=lineage,
     )
@@ -269,6 +299,99 @@ def merge_changes(
     winners.unpersist()
     staged.unpersist()
     return res
+
+
+def _merge_mor(
+    spark, table, clean, snap, evolved_fields, evolved_schema, ledger,
+    batch_key, fingerprint, max_commit, write_salt,
+    events_in, n_quarantined, affected, staged, t0,
+):
+    """Append-only merge-on-read apply: collapse the batch alone, append
+    winners as bucketed delta files. No read of existing data — apply
+    cost is O(batch)."""
+    key_cols, order_cols = snap.key_cols, snap.order_cols
+    evolved_names = [f.name for f in evolved_fields]
+    batch_side = clean.select(
+        *evolved_names, (F.col("op") == "D").alias(DELETED_COL)
+    )
+    winners = lww_collapse(batch_side, key_cols, order_cols).withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col(key_cols[0])), F.lit(snap.n_buckets)).cast("int")
+    )
+    winners.persist(StorageLevel.MEMORY_AND_DISK)
+    lineage_rows = (
+        winners.groupBy("_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("keys"),
+            F.sum(F.col(DELETED_COL).cast("long")).alias("deletes"),
+        )
+        .collect()
+    )
+    _, new_files = table.write_data_files(
+        winners.select(*evolved_names, DELETED_COL, "_bucket"), write_salt=write_salt
+    )
+    delta_buckets = dict(snap.props.get("delta_buckets", {}))
+    for f_ in new_files:
+        b = str(f_["bucket"])
+        delta_buckets[b] = delta_buckets.get(b, 0) + 1
+    lineage = [
+        {
+            "bucket": int(r["_bucket"]),
+            "keys": int(r["keys"]),
+            "deletes": int(r["deletes"]),
+            "mode": "mor",
+            "batch_key": batch_key,
+        }
+        for r in lineage_rows
+    ]
+    table.commit(
+        new_files=new_files,
+        replaced_buckets=(),
+        expected_version=snap.version,
+        schema=evolved_schema,
+        props_update={
+            _LEDGER_KEY: _trim_ledger(ledger, batch_key, fingerprint, max_commit),
+            "max_commit_lsn": max(max_commit, int(snap.props.get("max_commit_lsn", 0))),
+            "delta_buckets": delta_buckets,
+        },
+        lineage=lineage,
+    )
+    deletes = sum(r["deletes"] for r in lineage)
+    keys = sum(r["keys"] for r in lineage)
+    res = MergeResult(
+        version=snap.version + 1,
+        events_in=events_in,
+        quarantined=n_quarantined,
+        deletes=deletes,
+        upserts=keys - deletes,
+        keys_written=keys,
+        affected_buckets=affected,
+        strategy="mor",
+        wall_s=time.monotonic() - t0,
+    )
+    winners.unpersist()
+    staged.unpersist()
+    return res
+
+
+def compact(spark: SparkSession, table: LakeTable, *, write_salt: int = 1) -> int:
+    """Fold merge-on-read delta files down: one LWW collapse per bucket,
+    rewrite the whole table as canonical files (tombstones retained —
+    they still guard against late resurrection until
+    :func:`expire_tombstones`). The background-maintenance half of the
+    MOR bargain; scheduling it per N batches bounds read amplification."""
+    snap = table.snapshot()
+    df = table.read(spark, include_deleted=True)  # collapse auto-applies
+    df = df.withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col(snap.key_cols[0])), F.lit(snap.n_buckets)).cast("int")
+    )
+    _, new_files = table.write_data_files(df, write_salt=write_salt)
+    table.commit(
+        new_files=new_files,
+        replaced_buckets=range(snap.n_buckets),
+        expected_version=snap.version,
+        props_update={"delta_buckets": {}},
+    )
+    return sum(f["rows"] for f in new_files)
 
 
 def _trim_ledger(ledger: dict, batch_key: str | None, fingerprint: int, max_commit: int) -> dict:

@@ -175,11 +175,18 @@ class LakeTable:
         include_deleted: bool = False,
         snapshot_version: int | None = None,
         min_order: tuple | None = None,
+        collapse: bool | None = None,
     ) -> DataFrame:
         """Read the table at a snapshot. ``buckets`` prunes to the given
         bucket ids via the manifest (file skipping — the partition-
         pruning analog); ``min_order`` prunes files whose max order-col
-        stat is below the bound (incremental-scan analog)."""
+        stat is below the bound (incremental-scan analog).
+
+        If the snapshot carries merge-on-read delta files (appended by
+        ``merge_changes(strategy="mor")``), a key may appear in several
+        files; the read collapses to the latest version per key with the
+        same last-writer-wins hash agg the MERGE uses. ``collapse``
+        forces/suppresses this (default: auto from the manifest)."""
         snap = self.snapshot(snapshot_version)
         files = snap.files
         if buckets is not None:
@@ -192,6 +199,10 @@ class LakeTable:
         if not files:
             return spark.createDataFrame([], schema)
         df = spark.read.schema(schema).parquet(*[os.path.join(self.path, f["path"]) for f in files])
+        if collapse is None:
+            collapse = bool(snap.props.get("delta_buckets"))
+        if collapse:
+            df = lww_collapse(df, snap.key_cols, snap.order_cols)
         if not include_deleted:
             df = df.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
         return df
@@ -311,6 +322,21 @@ class LakeTable:
 
     def quarantine_path(self) -> str:
         return os.path.join(self.path, "quarantine")
+
+
+def lww_collapse(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
+    """Collapse multi-version rows to the latest per key: one hash agg
+    ``max_by(payload, order)`` — partial (map-side) combine makes this
+    skew-safe for Zipf-hot keys, unlike a window sort. Used by the MERGE
+    kernel and by merge-on-read scans."""
+    payload = [c for c in df.columns if c not in key_cols]
+    order_struct = F.struct(*[F.col(c) for c in order_cols])
+    payload_struct = F.struct(*[F.col(c) for c in payload])
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.max_by(payload_struct, order_struct).alias("_w"))
+        .select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload])
+    )
 
 
 def _json_safe(v: Any) -> Any:

@@ -24,7 +24,7 @@ from dataclasses import asdict, dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..lake.merge import merge_changes
+from ..lake.merge import compact, merge_changes
 from ..lake.table import LakeTable
 
 
@@ -56,6 +56,8 @@ def apply_stream(
     write_salt: int = 1,
     metrics_dir: str | None = None,
     await_termination: bool = True,
+    strategy: str = "cow",
+    compact_every: int = 0,
 ):
     """Run the CDC apply as a streaming query. Returns
     ``(query, StreamMetrics)`` — metrics are populated only after the
@@ -73,6 +75,7 @@ def apply_stream(
             batch_df,
             batch_key=f"{pipeline_id}:{batch_id}",
             write_salt=write_salt,
+            strategy=strategy,
         )
         metrics.batches += 1
         if res.skipped:
@@ -80,9 +83,11 @@ def apply_stream(
         else:
             metrics.events += res.events_in
             metrics.quarantined += res.quarantined
-            metrics.inserts += res.inserts
+            metrics.inserts += res.inserts + res.upserts
             metrics.updates += res.updates
             metrics.deletes += res.deletes
+        if compact_every and not res.skipped and metrics.batches % compact_every == 0:
+            compact(spark, table, write_salt=write_salt)
         rec = {"pipeline_id": pipeline_id, "batch_id": batch_id, **asdict(res)}
         with open(os.path.join(metrics_path, f"{pipeline_id}_batch_{batch_id:09d}.json"), "w") as f:
             json.dump(rec, f)

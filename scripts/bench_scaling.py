@@ -19,15 +19,16 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 RUNNER = r"""
-import json, sys, time
+import json, os, sys, time
 sys.path.insert(0, "{repo}")
 from digital_analytics_data_platform_spark.session import get_spark
 from bench import run_apply_bench
 
 cpus = int(sys.argv[1]); n_events = int(sys.argv[2]); n_batches = int(sys.argv[3])
+strategy = os.environ.get("BENCH_STRATEGY", "mor")
 spark = get_spark("scaling-bench", master=f"local[{{cpus}}]", shuffle_partitions=cpus)
 spark.range(1).count()
-stats = run_apply_bench(spark, n_events, n_batches, 64)
+stats = run_apply_bench(spark, n_events, n_batches, 64, strategy=strategy)
 print("RESULT " + json.dumps(stats))
 spark.stop()
 """
@@ -62,8 +63,11 @@ def main():
     report = {
         "events": n_events,
         "batches": n_batches,
+        "strategy": small.get("apply_strategy"),
         f"local[{small_cpus}]_events_per_sec": tps_s,
         f"local[{big_cpus}]_events_per_sec": tps_b,
+        f"local[{small_cpus}]_events_per_sec_incl_compact": small.get("apply_events_per_sec_incl_compact"),
+        f"local[{big_cpus}]_events_per_sec_incl_compact": big.get("apply_events_per_sec_incl_compact"),
         "speedup": round(tps_b / tps_s, 3),
         "cores_ratio": big_cpus / small_cpus,
         "scaling_efficiency": round(eff, 3),

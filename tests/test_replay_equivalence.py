@@ -6,11 +6,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from digital_analytics_data_platform_spark import datagen
-from digital_analytics_data_platform_spark.lake import merge_changes
+from digital_analytics_data_platform_spark.lake import compact, merge_changes
 from tests.conftest import assert_state_equal, oracle_state
 
 
-def run_replay(spark, make_table, n_events, n_batches, **gen_kw):
+def run_replay(spark, make_table, n_events, n_batches, strategy="cow", compact_at=(), **gen_kw):
     log = datagen.change_log(spark, n_events, **gen_kw)
     tbl = make_table()
     for i in range(n_batches):
@@ -20,7 +20,10 @@ def run_replay(spark, make_table, n_events, n_batches, **gen_kw):
             tbl,
             log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi)),
             batch_key=f"replay:{i}",
+            strategy=strategy,
         )
+        if i in compact_at:
+            compact(spark, tbl)
     got = tbl.read(spark).orderBy("conv_id", "turn_idx").toPandas()
     exp = oracle_state(log.toPandas())
     assert_state_equal(got, exp)
@@ -79,6 +82,40 @@ def test_replay_with_schema_evolution(spark, make_table):
     exp = oracle_state(log.toPandas())
     assert_state_equal(got, exp)
     assert got["tool"].notna().sum() > 0
+
+
+def test_replay_mor_with_midway_compact(spark, make_table):
+    """Merge-on-read appends + a mid-replay compaction must be replay-
+    equivalent to copy-on-write (same oracle)."""
+    tbl = run_replay(
+        spark, make_table, 6_000, 4, strategy="mor", compact_at=(1,),
+        n_convs=80, turns_per_conv=10, delete_frac=0.1,
+    )
+    # after compaction + more mor batches, deltas exist again
+    assert tbl.snapshot().props.get("delta_buckets")
+
+
+def test_mor_tombstone_and_cow_interop(spark, make_table):
+    """MOR delete wins over an earlier COW insert; a COW merge after MOR
+    folds the touched buckets' deltas down."""
+    from tests.conftest import cdc_rows
+
+    tbl = make_table()
+    merge_changes(spark, tbl, cdc_rows(spark, [("I", "c1", 0, "user", "v1", None, 10, 1)]), batch_key="a")
+    merge_changes(
+        spark, tbl, cdc_rows(spark, [("D", "c1", 0, None, None, None, 20, 2)]),
+        batch_key="b", strategy="mor",
+    )
+    assert tbl.read(spark).count() == 0
+    # late older update cannot resurrect through the MOR tombstone
+    merge_changes(
+        spark, tbl, cdc_rows(spark, [("U", "c1", 0, "user", "stale", None, 15, 3)]),
+        batch_key="c", strategy="mor",
+    )
+    assert tbl.read(spark).count() == 0
+    # COW merge on the same bucket clears its delta bookkeeping
+    merge_changes(spark, tbl, cdc_rows(spark, [("I", "c1", 1, "user", "new", None, 30, 4)]), batch_key="d")
+    assert [r["text"] for r in tbl.read(spark).collect()] == ["new"]
 
 
 def test_generator_is_deterministic(spark):

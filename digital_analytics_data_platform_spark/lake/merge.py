@@ -73,6 +73,7 @@ class MergeResult:
     affected_buckets: list[int] = field(default_factory=list)
     strategy: str = "cow"
     wall_s: float = 0.0
+    phase_walls: dict = field(default_factory=dict)  # per-phase seconds (telemetry)
 
 
 def _business_fields(schema: T.StructType) -> list[T.StructField]:
@@ -148,22 +149,36 @@ def merge_changes(
         F.pmod(F.xxhash64(F.col(key_cols[0])), F.lit(snap.n_buckets)).cast("int")
     )
     staged = staged.withColumn("_bucket", bucket)
+    phases: dict[str, float] = {}
+    t_mark = time.monotonic()
+
+    fp_expr = F.expr(
+        "bit_xor(case when _bucket >= 0 then xxhash64({cols}) else 0 end)".format(
+            cols=", ".join([*key_cols, order_cols[-1]])
+        )
+    )
+    commit_expr = F.max("commit_lsn") if has_commit else F.max(F.lit(0))
+
+    if strategy == "mor":
+        return _merge_mor(
+            spark, table, staged, snap, evolved_fields, evolved_schema, ledger,
+            batch_key, write_salt, quarantine, fp_expr, commit_expr, t0, phases,
+        )
+
     staged.persist(StorageLevel.MEMORY_AND_DISK)
 
     # One partial-agg pass gives affected buckets, counts, and the
     # exactly-once fingerprint without a full shuffle.
-    fp_expr = F.expr(
-        "bit_xor(xxhash64({cols}))".format(cols=", ".join([*key_cols, order_cols[-1]]))
-    )
     per_bucket = (
         staged.groupBy("_bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
             fp_expr.alias("fp"),
-            (F.max("commit_lsn") if has_commit else F.max(F.lit(0))).alias("max_commit"),
+            commit_expr.alias("max_commit"),
         )
         .collect()
     )
+    phases["stats_agg"] = time.monotonic() - t_mark
     events_in = sum(r["n"] for r in per_bucket)
     n_quarantined = sum(r["n"] for r in per_bucket if r["_bucket"] == -1)
     affected = sorted(r["_bucket"] for r in per_bucket if r["_bucket"] >= 0)
@@ -190,13 +205,6 @@ def merge_changes(
         return res
 
     clean = staged.filter(F.col("_bucket") >= 0)
-
-    if strategy == "mor":
-        return _merge_mor(
-            spark, table, clean, snap, evolved_fields, evolved_schema, ledger,
-            batch_key, fingerprint, max_commit, write_salt,
-            events_in, n_quarantined, affected, staged, t0,
-        )
 
     # ---- union existing + batch, one LWW hash-agg ------------------------
     existing = table.read(spark, buckets=affected, include_deleted=True, collapse=False)
@@ -237,6 +245,7 @@ def merge_changes(
         )
     )
     winners.persist(StorageLevel.MEMORY_AND_DISK)
+    t_mark = time.monotonic()
 
     # per-bucket lineage + batch metrics in one small agg
     lineage_rows = (
@@ -250,11 +259,14 @@ def merge_changes(
         )
         .collect()
     )
+    phases["lww_agg"] = time.monotonic() - t_mark
+    t_mark = time.monotonic()
 
     commit_dir, new_files = table.write_data_files(
         winners.select(*evolved_names, DELETED_COL, "_bucket"), write_salt=write_salt
     )
     del commit_dir
+    phases["write"] = time.monotonic() - t_mark
 
     ledger = _trim_ledger(ledger, batch_key, fingerprint, max_commit)
     lineage = [
@@ -295,6 +307,7 @@ def merge_changes(
         keys_written=sum(r["keys"] for r in lineage),
         affected_buckets=affected,
         wall_s=time.monotonic() - t0,
+        phase_walls={k: round(v, 3) for k, v in phases.items()},
     )
     winners.unpersist()
     staged.unpersist()
@@ -302,18 +315,32 @@ def merge_changes(
 
 
 def _merge_mor(
-    spark, table, clean, snap, evolved_fields, evolved_schema, ledger,
-    batch_key, fingerprint, max_commit, write_salt,
-    events_in, n_quarantined, affected, staged, t0,
+    spark, table, staged, snap, evolved_fields, evolved_schema, ledger,
+    batch_key, write_salt, quarantine, fp_expr, commit_expr, t0, phases,
 ):
     """Append-only merge-on-read apply: collapse the batch alone, append
     winners as bucketed delta files. No read of existing data — apply
-    cost is O(batch)."""
+    cost is O(batch), and the whole batch is scanned exactly ONCE: batch
+    stats (count / quarantine / exactly-once fingerprint / max commit
+    lsn) ride along as an ``Observation`` on the very job that computes
+    the LWW winners, instead of a separate aggregation pass."""
+    from pyspark.sql import Observation
+
+    t_mark = time.monotonic()
     key_cols, order_cols = snap.key_cols, snap.order_cols
     evolved_names = [f.name for f in evolved_fields]
-    batch_side = clean.select(
-        *evolved_names, (F.col("op") == "D").alias(DELETED_COL)
+
+    obs = Observation()
+    staged_obs = staged.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("_bucket") == -1).cast("long")).alias("quar"),
+        fp_expr.alias("fp"),
+        commit_expr.alias("maxc"),
     )
+    staged_obs.persist(StorageLevel.MEMORY_AND_DISK)
+    clean = staged_obs.filter(F.col("_bucket") >= 0)
+    batch_side = clean.select(*evolved_names, (F.col("op") == "D").alias(DELETED_COL))
     winners = lww_collapse(batch_side, key_cols, order_cols).withColumn(
         "_bucket", F.pmod(F.xxhash64(F.col(key_cols[0])), F.lit(snap.n_buckets)).cast("int")
     )
@@ -326,9 +353,38 @@ def _merge_mor(
         )
         .collect()
     )
+    stats = obs.get
+    events_in = int(stats["n"] or 0)
+    n_quarantined = int(stats["quar"] or 0)
+    fingerprint = int(stats["fp"] or 0)
+    max_commit = int(stats["maxc"] or 0)
+    affected = sorted(int(r["_bucket"]) for r in lineage_rows)
+    phases["lww_agg"] = time.monotonic() - t_mark
+    t_mark = time.monotonic()
+
+    if quarantine and n_quarantined:
+        (
+            staged_obs.filter(F.col("_bucket") == -1)
+            .drop("_bucket")
+            .write.mode("append")
+            .parquet(table.quarantine_path())
+        )
+    phases["quarantine"] = time.monotonic() - t_mark
+    t_mark = time.monotonic()
+
+    if not affected:
+        winners.unpersist()
+        staged_obs.unpersist()
+        res = _ledger_only_commit(table, snap.version, ledger, batch_key, fingerprint, max_commit)
+        res.events_in, res.quarantined = events_in, n_quarantined
+        res.strategy = "mor"
+        res.wall_s = time.monotonic() - t0
+        return res
+
     _, new_files = table.write_data_files(
         winners.select(*evolved_names, DELETED_COL, "_bucket"), write_salt=write_salt
     )
+    phases["write"] = time.monotonic() - t_mark
     delta_buckets = dict(snap.props.get("delta_buckets", {}))
     for f_ in new_files:
         b = str(f_["bucket"])
@@ -367,9 +423,10 @@ def _merge_mor(
         affected_buckets=affected,
         strategy="mor",
         wall_s=time.monotonic() - t0,
+        phase_walls={k: round(v, 3) for k, v in phases.items()},
     )
     winners.unpersist()
-    staged.unpersist()
+    staged_obs.unpersist()
     return res
 
 

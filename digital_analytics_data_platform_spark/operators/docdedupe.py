@@ -218,16 +218,28 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     min_jaccard: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard via shingle inverted index: explode
     shingles, self-join on shingle (co-occurrence counts), then
     |A∩B| / (|A|+|B|−|A∩B|). The shuffle key is the shingle, so common
-    shingles dominate cost — at corpus scale drop the top-frequency
-    shingles first (stopword-shingle pruning), which is exposed via
-    ``max_shingle_df``."""
+    shingles dominate cost — at corpus scale set ``max_shingle_df`` to
+    drop shingles appearing in more than that many documents before the
+    self-join (stopword-shingle pruning). Pruned shingles are excluded
+    from the intersection but kept in the set sizes, so the reported
+    jaccard is a lower bound — pairs held together only by boilerplate
+    shingles are (deliberately) no longer near-dups."""
     docs = df.select(F.col(id_col).alias("_id"), shingles(text_col, shingle_k).alias("_sh"))
     sizes = docs.select("_id", F.size(F.array_distinct("_sh")).alias("_n"))
     inv = docs.select("_id", F.explode(F.array_distinct("_sh")).alias("shingle"))
+    if max_shingle_df is not None:
+        rare = (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        inv = inv.join(rare, "shingle", "left_semi")
     co = (
         inv.alias("x")
         .join(inv.alias("y"), "shingle")

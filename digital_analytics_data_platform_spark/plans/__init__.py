@@ -12,8 +12,11 @@ from .transcripts import (
     gold_weekly_wide,
 )
 from .quality import run_quality_checks
+from .pipeline import MedallionPipeline, MedallionResult
 
 __all__ = [
+    "MedallionPipeline",
+    "MedallionResult",
     "build_silver",
     "conv_dim_snapshot",
     "gold_daily_wide",

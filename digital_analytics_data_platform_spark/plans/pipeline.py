@@ -1,0 +1,209 @@
+"""Medallion orchestration: one micro-batch drives Bronze → Silver →
+Gold → QA, the Spark-first re-expression of the reference's scheduled
+CALL chain (``orchestration/bigquery/Paid Search Dashboard
+Orchestration/00_sdi_sa360_paid_search_sp_call.sql:1-17`` →
+``sp_bronze_* → QA → sp_silver_* → QA → sp_gold_*`` per
+``sql/02_SDI_SA360/…/Orchestration``).
+
+Incremental contract (the reference's lookback-window discipline,
+SURVEY.md §2.9): downstream layers recompute only the partitions the
+Bronze batch touched —
+
+- Silver is keyed like Bronze (``conv_id, turn_idx``); the batch's
+  affected key-hash buckets are re-derived from Bronze state and
+  MERGEd, so an update to one turn re-enriches only its bucket.
+- Gold daily/weekly are keyed on (day/qgp_week, conv_id); the affected
+  ``(conv_id)`` set scopes the re-aggregation: Gold rows for touched
+  conversations are recomputed from Silver and MERGEd (the analog of
+  "gold daily wide MERGE with 14d lookback" — scoping by touched keys
+  instead of by wall-clock window, which is strictly tighter).
+
+Every layer write goes through the same exactly-once MERGE kernel as
+Bronze, so replaying a batch is a no-op at every layer.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..lake.merge import MergeResult, merge_changes
+from ..lake.table import LakeTable
+from .quality import run_quality_checks
+from .transcripts import build_silver, gold_daily_wide, gold_weekly_wide
+
+
+@dataclass
+class MedallionResult:
+    bronze: MergeResult
+    silver: MergeResult | None = None
+    gold_daily: MergeResult | None = None
+    gold_weekly: MergeResult | None = None
+    qa: list = field(default_factory=list)
+
+
+class MedallionPipeline:
+    """Owns the four lake tables and applies CDC batches through them."""
+
+    def __init__(
+        self,
+        base_dir: str,
+        *,
+        n_buckets: int = 64,
+        conv_dim: DataFrame | None = None,
+        strategy: str = "cow",
+        run_qa: bool = True,
+    ):
+        self.base_dir = base_dir
+        self.n_buckets = n_buckets
+        self.conv_dim = conv_dim
+        self.strategy = strategy
+        self.run_qa = run_qa
+
+    # -- table handles -----------------------------------------------------
+
+    def _path(self, layer: str) -> str:
+        return os.path.join(self.base_dir, layer)
+
+    def create_tables(self, bronze_schema: T.StructType) -> None:
+        """DDL step (the reference's explicit per-table DDL discipline,
+        ``sql/02_SDI_SA360/01_BRONZE/DDL/00_create_…``). Silver/Gold
+        schemas are derived lazily on first merge (schema evolution
+        handles later additions)."""
+        LakeTable.create(
+            self._path("bronze"), bronze_schema, ["conv_id", "turn_idx"], ["ts", "lsn"],
+            n_buckets=self.n_buckets,
+        )
+
+    def _ensure(self, layer: str, df: DataFrame, key_cols: list[str], order_cols: list[str]) -> LakeTable:
+        path = self._path(layer)
+        if LakeTable.exists(path):
+            return LakeTable.load(path)
+        return LakeTable.create(
+            path,
+            T.StructType([df.schema[c] for c in df.columns if c != "op"]),
+            key_cols,
+            order_cols,
+            n_buckets=self.n_buckets,
+        )
+
+    # -- apply -------------------------------------------------------------
+
+    def apply_batch(self, spark: SparkSession, batch: DataFrame, batch_id: int | str) -> MedallionResult:
+        bronze_tbl = LakeTable.load(self._path("bronze"))
+        res_b = merge_changes(
+            spark, bronze_tbl, batch, batch_key=f"bronze:{batch_id}", strategy=self.strategy
+        )
+        out = MedallionResult(bronze=res_b)
+        if res_b.skipped or not res_b.affected_buckets:
+            return out
+
+        # ---- Silver: re-enrich only the touched Bronze buckets ----------
+        from ..lake.table import DELETED_COL
+
+        touched_all = bronze_tbl.read(
+            spark, buckets=res_b.affected_buckets, include_deleted=True
+        )
+        touched = touched_all.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
+        silver_rows = build_silver(touched, self.conv_dim)
+        # carry lsn as the LWW order (same total order as Bronze)
+        silver_tbl = self._ensure(
+            "silver", silver_rows, ["conv_id", "turn_idx"], ["ts", "lsn"]
+        )
+        res_s = merge_changes(
+            spark, silver_tbl, silver_rows, batch_key=f"silver:{batch_id}", strategy=self.strategy
+        )
+        out.silver = res_s
+
+        # Deletes don't appear in Bronze reads; propagate tombstones so a
+        # turn deleted upstream disappears downstream too.
+        self._propagate_deletes(spark, bronze_tbl, silver_tbl, res_b, batch_id)
+
+        # ---- Gold: recompute touched conversations from Silver ----------
+        # `_order` is the apply sequence (Bronze snapshot version), NOT
+        # max(lsn): a recompute after a delete can have a *lower* max
+        # lsn, and LWW on lsn would then keep the stale row. The apply
+        # sequence is monotone per batch, so later recomputes always win.
+        apply_seq = bronze_tbl.snapshot().version
+        # scope includes tombstoned conversations (a fully-deleted conv
+        # must still drive gold scoped deletes), hence touched_all
+        conv_keys = touched_all.select("conv_id").distinct()
+        silver_state = silver_tbl.read(spark).join(F.broadcast(conv_keys), "conv_id", "left_semi")
+        daily = gold_daily_wide(silver_state).withColumn("_order", F.lit(apply_seq).cast("long"))
+        gold_d_tbl = self._ensure("gold_daily", daily, ["day", "conv_id"], ["_order"])
+        daily_full = self._with_scoped_deletes(spark, gold_d_tbl, daily, ["day", "conv_id"], conv_keys, apply_seq)
+        out.gold_daily = merge_changes(
+            spark, gold_d_tbl, daily_full, batch_key=f"gold_daily:{batch_id}", strategy="cow"
+        )
+        weekly = gold_weekly_wide(daily.drop("_order")).withColumn(
+            "_order", F.lit(apply_seq).cast("long")
+        )
+        gold_w_tbl = self._ensure("gold_weekly", weekly, ["qgp_week", "conv_id"], ["_order"])
+        weekly_full = self._with_scoped_deletes(spark, gold_w_tbl, weekly, ["qgp_week", "conv_id"], conv_keys, apply_seq)
+        out.gold_weekly = merge_changes(
+            spark, gold_w_tbl, weekly_full, batch_key=f"gold_weekly:{batch_id}", strategy="cow"
+        )
+
+        if self.run_qa:
+            out.qa = run_quality_checks(
+                bronze_tbl.read(spark),
+                silver_tbl.read(spark),
+                gold_d_tbl.read(spark).drop("_order"),
+                gold_w_tbl.read(spark).drop("_order"),
+                out_dir=os.path.join(self.base_dir, "qa"),
+            )
+        return out
+
+    def _with_scoped_deletes(
+        self, spark, gold_tbl: LakeTable, recomputed: DataFrame, keys: list[str], conv_keys: DataFrame, apply_seq: int
+    ) -> DataFrame:
+        """The reference's scoped ``WHEN NOT MATCHED BY SOURCE …
+        DELETE`` (``sql/05_SDI_PROFOUND/…/01_sp_reconcile_…:176-178``):
+        gold rows of touched conversations that vanished from the
+        recompute (all their turns deleted) become tombstones."""
+        existing = (
+            gold_tbl.read(spark)
+            .join(F.broadcast(conv_keys), "conv_id", "left_semi")
+            .select(*keys)
+        )
+        gone = existing.join(recomputed.select(*keys), keys, "left_anti")
+        if gone.isEmpty():
+            return recomputed
+        tomb = gone.withColumn("op", F.lit("D")).withColumn(
+            "_order", F.lit(apply_seq).cast("long")
+        )
+        for c in recomputed.columns:
+            if c not in tomb.columns:
+                tomb = tomb.withColumn(c, F.lit(None).cast(recomputed.schema[c].dataType))
+        return recomputed.withColumn("op", F.lit("U")).unionByName(tomb)
+
+    def _propagate_deletes(self, spark, bronze_tbl, silver_tbl, res_b, batch_id) -> None:
+        """Keys tombstoned in Bronze's touched buckets get tombstoned in
+        Silver with the same (ts, lsn) order — LWW keeps it idempotent."""
+        from ..lake.table import DELETED_COL
+
+        dead = (
+            bronze_tbl.read(spark, buckets=res_b.affected_buckets, include_deleted=True)
+            .filter(F.col(DELETED_COL))
+            .select("conv_id", "turn_idx", "ts", "lsn")
+        )
+        if dead.isEmpty():
+            return
+        silver_schema = silver_tbl.snapshot().schema()
+        tomb = dead.withColumn("op", F.lit("D"))
+        for f_ in silver_schema.fields:
+            if f_.name not in tomb.columns and f_.name != DELETED_COL:
+                tomb = tomb.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+        merge_changes(
+            spark, silver_tbl, tomb, batch_key=f"silver_tomb:{batch_id}", strategy=self.strategy
+        )
+
+    # -- reads -------------------------------------------------------------
+
+    def read(self, spark: SparkSession, layer: str) -> DataFrame:
+        df = LakeTable.load(self._path(layer)).read(spark)
+        return df.drop("_order") if "_order" in df.columns else df

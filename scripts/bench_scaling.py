@@ -57,8 +57,9 @@ def main():
 
     small = run_level(small_cpus, n_events, n_batches)
     big = run_level(big_cpus, n_events, n_batches)
-    tps_s = small["apply_events_per_sec_steady"]
-    tps_b = big["apply_events_per_sec_steady"]
+    # median-based: robust to this VM's sporadic host stalls (see bench.py)
+    tps_s = small["apply_events_per_sec_median"]
+    tps_b = big["apply_events_per_sec_median"]
     eff = (tps_b / tps_s) / (big_cpus / small_cpus)
     report = {
         "events": n_events,

@@ -89,6 +89,7 @@ def merge_changes(
     write_salt: int = 1,
     quarantine: bool = True,
     strategy: str = "cow",
+    max_ts=None,
 ) -> MergeResult:
     """Apply one micro-batch of CDC events (schema: key cols + payload +
     order cols + optional ``op``/``commit_lsn``) to ``table``.
@@ -98,6 +99,14 @@ def merge_changes(
     - ``"cow"`` (copy-on-write): union existing rows of affected buckets
       with the batch, collapse LWW, rewrite those buckets. Read-optimal;
       write cost grows with table size once batches touch every bucket.
+    ``max_ts``: the future-bucket guard (the reference's
+    ``max_allowed_qgp_week`` refusal, ``sql/02_SDI_SA360/03_GOLD/MERGE/
+    01_sp_merge_sdi_gold_sa360_campaign_weekly_long.sql:8,23-32``) —
+    events with ``ts`` beyond this bound are quarantined instead of
+    poisoning future partitions. Pass an explicit bound (e.g. wall
+    clock + allowed skew); it is never defaulted from ``now()`` so
+    replays stay deterministic.
+
     - ``"mor"`` (merge-on-read): collapse the batch alone and *append*
       the winners as bucketed delta files — apply cost is O(batch)
       regardless of table size (the Iceberg/Hudi merge-on-read shape;
@@ -145,6 +154,8 @@ def merge_changes(
             bad = bad | (F.col(k) < 0)
     for oc in order_cols:
         bad = bad | F.col(oc).isNull()
+    if max_ts is not None:
+        bad = bad | (F.col(order_cols[0]) > F.lit(max_ts))
     bucket = F.when(bad, F.lit(-1)).otherwise(
         F.pmod(F.xxhash64(F.col(key_cols[0])), F.lit(snap.n_buckets)).cast("int")
     )

@@ -237,13 +237,14 @@ class LakeTable:
 
     def _scan_written(self, commit_dir: str) -> list[dict[str, Any]]:
         """Collect per-file entries (bucket, rows, min/max order stats)
-        from parquet footers. Driver-side footer reads are cheap at this
-        file count; the 1000-executor path would collect the same stats
-        executor-side during the write (à la Iceberg write tasks)."""
-        import pyarrow.parquet as pq
+        from parquet footers. Footer reads parallelize over a thread
+        pool (I/O bound); the 1000-executor path would collect the same
+        stats executor-side during the write (à la Iceberg write
+        tasks)."""
+        from concurrent.futures import ThreadPoolExecutor
 
         snap = self.snapshot()
-        entries: list[dict[str, Any]] = []
+        todo: list[tuple[str, int]] = []
         root = os.path.join(self.path, commit_dir)
         for dirpath, _dirnames, filenames in os.walk(root):
             base = os.path.basename(dirpath)
@@ -251,35 +252,41 @@ class LakeTable:
                 continue
             bucket = int(base.split("=", 1)[1])
             for fn in sorted(filenames):
-                if not fn.endswith(".parquet"):
-                    continue
-                full = os.path.join(dirpath, fn)
-                md = pq.ParquetFile(full).metadata
-                entry: dict[str, Any] = {
-                    "path": os.path.relpath(full, self.path),
-                    "bucket": bucket,
-                    "rows": md.num_rows,
-                }
-                # min/max stats for the order columns (pruning)
-                name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-                for ocol in snap.order_cols:
-                    idx = name_to_idx.get(ocol)
-                    if idx is None:
-                        continue
+                if fn.endswith(".parquet"):
+                    todo.append((os.path.join(dirpath, fn), bucket))
+        if not todo:
+            return []
+        with ThreadPoolExecutor(max_workers=min(16, len(todo))) as pool:
+            return list(pool.map(lambda fb: self._file_entry(fb[0], fb[1], snap), todo))
+
+    def _file_entry(self, full: str, bucket: int, snap: Snapshot) -> dict[str, Any]:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(full).metadata
+        entry: dict[str, Any] = {
+            "path": os.path.relpath(full, self.path),
+            "bucket": bucket,
+            "rows": md.num_rows,
+        }
+        # min/max stats for the order columns (pruning)
+        name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for ocol in snap.order_cols:
+            idx = name_to_idx.get(ocol)
+            if idx is None:
+                continue
+            mn = mx = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
                     mn = mx = None
-                    for rg in range(md.num_row_groups):
-                        st = md.row_group(rg).column(idx).statistics
-                        if st is None or not st.has_min_max:
-                            mn = mx = None
-                            break
-                        lo, hi = st.min, st.max
-                        mn = lo if mn is None or lo < mn else mn
-                        mx = hi if mx is None or hi > mx else mx
-                    if mn is not None:
-                        entry[f"min_{ocol}"] = _json_safe(mn)
-                        entry[f"max_{ocol}"] = _json_safe(mx)
-                entries.append(entry)
-        return entries
+                    break
+                lo, hi = st.min, st.max
+                mn = lo if mn is None or lo < mn else mn
+                mx = hi if mx is None or hi > mx else mx
+            if mn is not None:
+                entry[f"min_{ocol}"] = _json_safe(mn)
+                entry[f"max_{ocol}"] = _json_safe(mx)
+        return entry
 
     def commit(
         self,

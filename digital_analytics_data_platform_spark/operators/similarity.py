@@ -181,6 +181,118 @@ def lsh_ann_topk(
     return cands.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_train(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_iters: int = 5,
+    seed: int = 42,
+    sample_per_cluster: int = 256,
+):
+    """Train an IVF coarse quantizer (Lloyd's k-means) distributed:
+    assignment is one Arrow-batch matrix multiply per partition (pandas
+    UDF with the centroid matrix in the closure), the centroid update is
+    ``posexplode → groupBy(cluster, dim) → avg`` — only k×dim floats
+    ever reach the driver per iteration. Deterministic init: the k
+    vectors with the smallest ``xxhash64(vec)`` (seeded), i.e. a seeded
+    uniform sample without an RNG on executors.
+
+    Returns the centroid matrix as a list of lists (JSON-serializable
+    model, same quantizer on every executor/run)."""
+    import numpy as np
+
+    init = (
+        df.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed)).alias("_h"))
+        .orderBy("_h")
+        .limit(n_clusters)
+        .collect()
+    )
+    centroids = np.asarray([list(r["v"]) for r in init], dtype=np.float64)
+
+    for _ in range(n_iters):
+        assign = _ivf_assign_udf(centroids)
+        assigned = df.select(F.col(vec_col).alias("v"), assign(F.col(vec_col)).alias("c"))
+        sums = (
+            assigned.select("c", F.posexplode("v").alias("d", "x"))
+            .groupBy("c", "d")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = centroids.copy()
+        counts = np.zeros(len(centroids))
+        for r in sums:
+            new[r["c"], r["d"]] = r["s"] / r["n"]
+            counts[r["c"]] = r["n"]
+        # empty clusters keep their old centroid
+        centroids = new
+    return [[float(x) for x in row] for row in centroids]
+
+
+def _ivf_assign_udf(centroids, nprobe: int = 1):
+    """Nearest-centroid assignment by cosine; ``nprobe > 1`` explodes to
+    the top-n probe clusters (query-side fan-out)."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    if nprobe == 1:
+        def assign(v: pd.Series) -> pd.Series:
+            A = _mat(v)
+            if A.shape[0] == 0:
+                return pd.Series([], dtype="int32")
+            An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+            return pd.Series((An @ Cn.T).argmax(axis=1).astype("int32"))
+
+        return pandas_udf("int")(assign)
+
+    def probe(v: pd.Series) -> pd.Series:
+        A = _mat(v)
+        if A.shape[0] == 0:
+            return pd.Series([], dtype="object")
+        An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+        sims = An @ Cn.T
+        top = np.argsort(-sims, axis=1)[:, :nprobe].astype("int32")
+        return pd.Series([list(row) for row in top])
+
+    return pandas_udf("array<int>")(probe)
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF search: corpus partitioned by nearest centroid (the inverted
+    file), queries probe their ``nprobe`` closest cells, exact cosine
+    rerank within probed cells. The join shuffles on the cell id — like
+    LSH, all-pairs never materializes; unlike LSH, cells adapt to the
+    data distribution."""
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), _ivf_assign_udf(centroids)(F.col(vec_col)).alias("cell")
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(_ivf_assign_udf(centroids, nprobe=nprobe)(F.col(vec_col))).alias("cell"),
+    )
+    cands = (
+        c.join(q, "cell")
+        .select(query_id_col, id_col, cosine(vec_col, "_qvec").alias("cosine"))
+        .groupBy(query_id_col, id_col)
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return cands.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_dups(
     df: DataFrame,
     *,

@@ -1075,6 +1075,19 @@ def q_lsh_ann(spark, sf_dir):
     return lsh_ann_topk(e, queries, k=5, n_planes=6, n_tables=4)
 
 
+def q_ivf_ann(spark, sf_dir):
+    """IVF ANN (k-means coarse quantizer + nprobe search). Approximate →
+    no SQL oracle; recall vs brute force covered by tests."""
+    from .operators.similarity import ivf_ann_topk, ivf_train
+
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = ivf_train(e, n_clusters=8, n_iters=3)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ivf_ann_topk(e, queries, centroids, k=5, nprobe=3)
+
+
 def q_multimodal_features(spark, sf_dir):
     """No SQL oracle (mapInPandas feature extraction); deterministic
     fake-decode covered by tests."""
@@ -1130,6 +1143,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dups": q_simhash_near_dups,
     "ngram_jaccard": q_ngram_jaccard,
     "lsh_ann": q_lsh_ann,
+    "ivf_ann": q_ivf_ann,
     "multimodal_features": q_multimodal_features,
 }
 

@@ -61,6 +61,21 @@ def main():
     tps_s = small["apply_events_per_sec_median"]
     tps_b = big["apply_events_per_sec_median"]
     eff = (tps_b / tps_s) / (big_cpus / small_cpus)
+
+    # steal-adjusted: subtract hypervisor-stolen CPU time (converted to
+    # wall at the run's parallelism) from each batch wall, then take the
+    # median — the throughput this hardware would sustain without host
+    # contention. Raw numbers are reported alongside.
+    def adj_median_tps(level, cpus):
+        walls = level["apply_batch_walls_s"][1:]
+        steals = level.get("apply_batch_steal_cpu_s", [0.0] * len(level["apply_batch_walls_s"]))[1:]
+        adj = [max(w - s / cpus, 0.05 * w) for w, s in zip(walls, steals)]
+        med = sorted(adj)[len(adj) // 2]
+        return (n_events / n_batches) / med
+
+    atps_s = adj_median_tps(small, small_cpus)
+    atps_b = adj_median_tps(big, big_cpus)
+    adj_eff = (atps_b / atps_s) / (big_cpus / small_cpus)
     report = {
         "events": n_events,
         "batches": n_batches,
@@ -72,8 +87,13 @@ def main():
         "speedup": round(tps_b / tps_s, 3),
         "cores_ratio": big_cpus / small_cpus,
         "scaling_efficiency": round(eff, 3),
+        f"local[{small_cpus}]_events_per_sec_steal_adjusted": round(atps_s, 1),
+        f"local[{big_cpus}]_events_per_sec_steal_adjusted": round(atps_b, 1),
+        "scaling_efficiency_steal_adjusted": round(adj_eff, 3),
         "small_batch_walls_s": small["apply_batch_walls_s"],
         "big_batch_walls_s": big["apply_batch_walls_s"],
+        "small_batch_steal_cpu_s": small.get("apply_batch_steal_cpu_s"),
+        "big_batch_steal_cpu_s": big.get("apply_batch_steal_cpu_s"),
     }
     print(json.dumps(report, indent=2))
 

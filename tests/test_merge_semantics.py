@@ -39,6 +39,29 @@ def test_insert_update_delete(spark, make_table):
     assert state(spark, tbl) == {("c1", 0): "hello", ("c1", 1): "hi (edited)"}
 
 
+def test_future_ts_guard_quarantines(spark, make_table):
+    """Events beyond max_ts are quarantined, not applied (the
+    future-bucket guard, SURVEY §2.9)."""
+    from datetime import datetime
+
+    tbl = make_table()
+    r = merge_changes(
+        spark,
+        tbl,
+        cdc_rows(
+            spark,
+            [
+                ("I", "c1", 0, "user", "ok", None, 10, 1),
+                ("I", "c1", 1, "user", "from the future", None, 10**9, 2),
+            ],
+        ),
+        batch_key="b1",
+        max_ts=datetime(2026, 6, 1),
+    )
+    assert r.quarantined == 1
+    assert state(spark, tbl) == {("c1", 0): "ok"}
+
+
 def test_duplicate_deliveries_are_noops(spark, make_table):
     tbl = make_table()
     rows = [("I", "c1", 0, "user", "hello", None, 10, 1)]

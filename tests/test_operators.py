@@ -218,6 +218,14 @@ def test_similarity_brute_and_lsh(spark):
     nd = embedding_near_dups(corpus, min_cosine=0.99, n_planes=6, n_tables=6)
     assert (0, 1) in {(r["a"], r["b"]) for r in nd.collect()}
 
+    from digital_analytics_data_platform_spark.operators.similarity import ivf_ann_topk, ivf_train
+
+    centroids = ivf_train(corpus, n_clusters=4, n_iters=3)
+    assert len(centroids) == 4 and len(centroids[0]) == 16
+    ivf = ivf_ann_topk(corpus, queries, centroids, k=3, nprobe=2)
+    ivf_ids = [r["vec_id"] for r in ivf.orderBy("rank").collect()]
+    assert 0 in ivf_ids and 1 in ivf_ids  # near-dup pair lands in the same cell
+
 
 def test_multimodal_plumbing(spark):
     media = synthetic_media(spark, 50)

@@ -66,3 +66,34 @@ def test_streaming_crash_replay_is_noop(spark, make_table, tmp_path):
     v_before = tbl.snapshot().version
     r2 = merge_changes(spark, tbl, log, batch_key="bronze:0")  # replayed batchId
     assert r2.skipped and tbl.snapshot().version == v_before
+
+
+def test_stateful_conversation_progress(spark, tmp_path):
+    """applyInPandasWithState keyed state accumulates across
+    micro-batches (custom stateful streaming operator)."""
+    from digital_analytics_data_platform_spark.streaming.stateful import (
+        conversation_progress,
+    )
+
+    log = datagen.change_log(spark, 2_000, n_convs=20, turns_per_conv=10, garbage_frac=0.0)
+    log_dir = str(tmp_path / "log")
+    write_log_segments(log, log_dir, n_segments=4)
+    stream = cdc_file_stream(spark, log_dir, max_files_per_trigger=1)
+    q = (
+        conversation_progress(stream)
+        .writeStream.format("memory")
+        .queryName("conv_progress")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.sql(
+        "SELECT conv_id, max(n_events) AS n FROM conv_progress GROUP BY conv_id"
+    ).toPandas()
+    exp = log.groupBy("conv_id").count().toPandas()
+    exp = exp[exp["conv_id"].notna()]
+    merged = out.merge(exp, on="conv_id")
+    assert len(merged) == len(exp)
+    # state accumulated across the 4 single-file micro-batches
+    assert (merged["n"] == merged["count"]).all()

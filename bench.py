@@ -67,12 +67,26 @@ def _steal_seconds() -> float:
 
 
 def run_apply_bench(
-    spark, n_events: int, n_batches: int, n_buckets: int, strategy: str = "mor", compact_every: int = 0
+    spark,
+    n_events: int,
+    n_batches: int,
+    n_buckets: int,
+    strategy: str = "mor",
+    compact_every: int = 0,
+    feed: str | None = None,
 ) -> dict:
     """CDC apply replay. ``strategy='mor'`` is the sustained-throughput
     production path (O(batch) appends + read-time LWW); a final compact
     folds deltas down and its cost is reported separately. 'cow'
-    measures the read-optimized rewrite path."""
+    measures the read-optimized rewrite path.
+
+    ``feed`` (env ``BENCH_FEED``): ``'parquet'`` (default) lands each
+    batch as parquet segments untimed and times the apply reading files
+    — the binlog-landing-zone shape; on this sandbox's single shared
+    virtio disk this is I/O-bound at ≥8 cores. ``'generate'`` feeds the
+    apply directly from the column-expression generator — a CPU-rich
+    configuration that shows compute scaling across parallelism levels
+    (a stand-in for pipelines whose transform stage dominates I/O)."""
     from pyspark.sql import types as T
 
     from digital_analytics_data_platform_spark.lake import compact as compact_fn
@@ -92,24 +106,33 @@ def run_apply_bench(
     tbl = LakeTable.create(
         f"{tmp}/bronze", schema, ["conv_id", "turn_idx"], ["ts", "lsn"], n_buckets=n_buckets
     )
-    log = datagen.change_log(
-        spark,
-        n_events,
-        n_convs=max(1000, n_events // 1000),
-        turns_per_conv=50,
-        hot_key_frac=0.15,
-    )
+    feed = feed or os.environ.get("BENCH_FEED", "parquet")
+    gen_kw = dict(n_convs=max(1000, n_events // 1000), turns_per_conv=50, hot_key_frac=0.15)
     batch_walls = []
     batch_steals = []
     for i in range(n_batches):
         lo = i * n_events // n_batches
         hi = (i + 1) * n_events // n_batches
-        batch = log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+        # O(batch) slice — does NOT rescan the whole log per batch
+        sliced = datagen.change_log(spark, n_events, id_range=(lo, hi), **gen_kw)
+        seg_dir = None
+        if feed == "parquet":
+            # Land the batch as parquet segments first (untimed) — the
+            # real pipeline tails a binlog landing zone, so the APPLY is
+            # what's measured, reading files.
+            seg_dir = f"{tmp}/seg_{i}"
+            sliced.write.mode("overwrite").parquet(seg_dir)
+            batch = spark.read.parquet(seg_dir)
+            os.sync()  # flush landing dirty pages OUTSIDE the timed window
+        else:
+            batch = sliced
         t0 = time.monotonic()
         s0 = _steal_seconds()
         merge_changes(spark, tbl, batch, batch_key=f"bench:{i}", strategy=strategy)
         batch_walls.append(time.monotonic() - t0)
         batch_steals.append(_steal_seconds() - s0)
+        if seg_dir:
+            shutil.rmtree(seg_dir, ignore_errors=True)
         if compact_every and (i + 1) % compact_every == 0:
             compact_fn(spark, tbl)
     t0 = time.monotonic()
@@ -127,6 +150,7 @@ def run_apply_bench(
     return {
         "apply_batch_steal_cpu_s": [round(s, 1) for s in batch_steals],
         "apply_strategy": strategy,
+        "apply_feed": feed,
         "apply_events": n_events,
         "apply_batches": n_batches,
         "apply_final_rows": final_rows,

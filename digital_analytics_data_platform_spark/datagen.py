@@ -65,6 +65,7 @@ def change_log(
     event_gap_s: float = 0.001,
     commit_size: int = 100_000,
     num_partitions: int | None = None,
+    id_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Generate ``n_events`` CDC events with schema ``CDC_COLUMNS``.
 
@@ -75,8 +76,17 @@ def change_log(
     want the column *physically absent* early should
     ``.drop("tool")`` on the pre-evolution slice — see
     :func:`split_for_schema_evolution`).
+
+    ``id_range=(lo, hi)`` generates only that slice of the log *without
+    scanning the rest* (every event is a pure function of its id, so a
+    slice is just ``spark.range(lo, hi)``) — the right way to feed
+    batches of a 10^10-event replay; ``n_events`` stays the logical
+    total so distribution knobs (``tool_from_frac`` boundary) are
+    unchanged. Equivalent to ``change_log(spark, n).filter(lo <= lsn <
+    hi)`` but O(slice), not O(total).
     """
-    rng = spark.range(0, n_events, 1, num_partitions) if num_partitions else spark.range(n_events)
+    lo, hi = id_range if id_range is not None else (0, n_events)
+    rng = spark.range(lo, hi, 1, num_partitions) if num_partitions else spark.range(lo, hi)
     pid = F.col("id")
 
     # Duplicate deliveries: re-emit an earlier logical event verbatim.

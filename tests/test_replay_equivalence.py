@@ -124,3 +124,18 @@ def test_generator_is_deterministic(spark):
     assert a.equals(b)
     c = datagen.change_log(spark, 2_000, seed=8).toPandas()
     assert not a.equals(c)
+
+
+def test_generator_slices_union_to_full_log(spark):
+    """id_range slicing is O(slice) batch feeding for huge replays; the
+    union of slices must equal the full log byte-for-byte."""
+    import pandas as pd
+
+    sort = ["commit_lsn", "lsn", "text"]
+    full = datagen.change_log(spark, 4_000).toPandas().sort_values(sort).reset_index(drop=True)
+    parts = [
+        datagen.change_log(spark, 4_000, id_range=(lo, lo + 1000)).toPandas()
+        for lo in range(0, 4_000, 1000)
+    ]
+    u = pd.concat(parts).sort_values(sort).reset_index(drop=True)
+    assert full.equals(u)

@@ -20,6 +20,14 @@ small lakehouse layer with the same guarantees the reference relies on
 """
 
 from .table import LakeTable, lww_collapse
-from .merge import merge_changes, compact, expire_tombstones, MergeResult
+from .merge import merge_changes, compact, expire_tombstones, reconcile_backfill, MergeResult
 
-__all__ = ["LakeTable", "lww_collapse", "merge_changes", "compact", "expire_tombstones", "MergeResult"]
+__all__ = [
+    "LakeTable",
+    "lww_collapse",
+    "merge_changes",
+    "compact",
+    "expire_tombstones",
+    "reconcile_backfill",
+    "MergeResult",
+]

@@ -486,6 +486,124 @@ def _ledger_only_commit(
     return MergeResult(version=snap.version)
 
 
+def reconcile_backfill(
+    spark: SparkSession,
+    table: LakeTable,
+    corrected: DataFrame,
+    start,
+    end,
+    *,
+    batch_key: str | None = None,
+    write_salt: int = 1,
+) -> MergeResult:
+    """S7: parameterized date-window reconcile — the corrected feed IS
+    the truth for ``ts ∈ [start, end)`` (the reference's
+    ``sql/05_SDI_PROFOUND/01_BRONZE/Backfill Reconcile/
+    01_sp_reconcile_backfill_profound_sov_daily.sql:39-52,176-178``:
+    precondition ASSERTs, then MERGE with a window-scoped
+    ``WHEN NOT MATCHED BY SOURCE … DELETE``).
+
+    Physical replace, not LWW: a correction may carry an *older* ts than
+    the wrong row it supersedes, so it must win regardless of the
+    ``(ts, lsn)`` order — exactly why the reference deletes the window
+    and reinserts. Scope is bucket-exact: only buckets holding window
+    rows or corrected keys are rewritten; everything else is carried by
+    the manifest (at 100 TB the window prunes to a few buckets when the
+    feed is small; a corpus-wide correction degrades to a full rewrite,
+    same as the reference's chunked backfill).
+    """
+    if start >= end:
+        raise ValueError(f"empty reconcile window [{start}, {end})")
+    snap = table.snapshot()
+    key_cols, order_cols = snap.key_cols, snap.order_cols
+    tcol = order_cols[0]
+    ledger: dict[str, Any] = dict(snap.props.get(_LEDGER_KEY, {}))
+    if batch_key is not None and batch_key in ledger:
+        return MergeResult(version=snap.version, skipped=True)
+
+    # precondition ASSERT: every corrected event lies inside the window
+    n_outside = corrected.filter((F.col(tcol) < F.lit(start)) | (F.col(tcol) >= F.lit(end))).limit(1).count()
+    if n_outside:
+        raise ValueError(f"corrected feed has events outside [{start}, {end})")
+
+    # corrected winners: collapse the feed by its own order; D winners
+    # stay as tombstones (guards against pre-window stragglers)
+    evolved_names = [f.name for f in _business_fields(snap.schema())]
+    feed = corrected
+    if "op" not in feed.columns:
+        feed = feed.withColumn("op", F.lit("U"))
+    for c in evolved_names:
+        if c not in feed.columns:
+            feed = feed.withColumn(c, F.lit(None).cast(snap.schema()[c].dataType))
+    feed = feed.select(*evolved_names, (F.col("op") == "D").alias(DELETED_COL))
+    new_win = lww_collapse(feed, key_cols, order_cols)
+    new_win.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # bucket scope: buckets holding corrected keys ∪ buckets with files
+    # intersecting the window (manifest min/max ts stats prune the rest)
+    key_buckets = {
+        int(r["_b"])
+        for r in new_win.select(
+            F.pmod(F.xxhash64(F.col(key_cols[0])), F.lit(snap.n_buckets)).cast("int").alias("_b")
+        )
+        .distinct()
+        .collect()
+    }
+    iso_start, iso_end = _json_ts(start), _json_ts(end)
+    file_buckets = {
+        f["bucket"]
+        for f in snap.files
+        if f.get(f"min_{tcol}") is None
+        or not (f[f"max_{tcol}"] < iso_start or f[f"min_{tcol}"] >= iso_end)
+    }
+    affected = sorted(key_buckets | file_buckets)
+    if not affected:
+        res = _ledger_only_commit(table, snap.version, ledger, batch_key, 0, 0)
+        res.strategy = "reconcile"
+        return res
+
+    cur = table.read(spark, buckets=affected, include_deleted=True)
+    for c in evolved_names:
+        if c not in cur.columns:
+            cur = cur.withColumn(c, F.lit(None).cast(snap.schema()[c].dataType))
+    cur = cur.select(*evolved_names, DELETED_COL)
+    # window rows are superseded wholesale; corrected keys win anywhere
+    keep = cur.filter((F.col(tcol) < F.lit(start)) | (F.col(tcol) >= F.lit(end))).join(
+        new_win.select(*key_cols), key_cols, "left_anti"
+    )
+    new_state = keep.unionByName(new_win).withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col(key_cols[0])), F.lit(snap.n_buckets)).cast("int")
+    )
+    _, new_files = table.write_data_files(new_state, write_salt=write_salt)
+    delta_buckets = dict(snap.props.get("delta_buckets", {}))
+    for b in affected:
+        delta_buckets.pop(str(b), None)
+    table.commit(
+        new_files=new_files,
+        replaced_buckets=affected,
+        expected_version=snap.version,
+        props_update={
+            _LEDGER_KEY: _trim_ledger(ledger, batch_key, 0, 0),
+            "delta_buckets": delta_buckets,
+        },
+        lineage=[{"mode": "reconcile", "window": [str(start), str(end)], "buckets": affected}],
+    )
+    res = MergeResult(
+        version=snap.version + 1,
+        keys_written=sum(f["rows"] for f in new_files),
+        affected_buckets=affected,
+        strategy="reconcile",
+    )
+    new_win.unpersist()
+    return res
+
+
+def _json_ts(v) -> str:
+    """Window bound → the manifest's isoformat stat encoding for
+    comparison against per-file min/max strings."""
+    return v.isoformat() if hasattr(v, "isoformat") else str(v)
+
+
 def expire_tombstones(spark: SparkSession, table: LakeTable, *, older_than_lsn: int) -> int:
     """Maintenance: rewrite buckets dropping tombstones whose order col
     is below the watermark (safe once no event older than the watermark
@@ -501,6 +619,8 @@ def expire_tombstones(spark: SparkSession, table: LakeTable, *, older_than_lsn: 
         new_files=new_files,
         replaced_buckets=range(snap.n_buckets),
         expected_version=snap.version,
-        props_update={"tombstone_watermark_lsn": older_than_lsn},
+        # full canonical rewrite folds any MOR deltas down too — clear the
+        # delta bookkeeping so reads stop paying the collapse agg
+        props_update={"tombstone_watermark_lsn": older_than_lsn, "delta_buckets": {}},
     )
     return sum(f["rows"] for f in new_files)

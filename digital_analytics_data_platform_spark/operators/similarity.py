@@ -36,19 +36,44 @@ def _mat(s: pd.Series):
     return np.asarray([np.asarray(v, dtype=np.float64) for v in s], dtype=np.float64)
 
 
-def _cosine_fn(a: pd.Series, b: pd.Series) -> pd.Series:
+def _valid_mask(a: pd.Series, b: pd.Series):
+    """Rows where both vectors are present (Arrow hands NULL list
+    elements to pandas as None)."""
     import numpy as np
 
-    A, B = _mat(a), _mat(b)
-    num = (A * B).sum(axis=1)
-    den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
-    out = np.where(den > 0, num / np.where(den == 0, 1.0, den), np.nan)
+    return np.fromiter(
+        (u is not None and w is not None for u, w in zip(a, b)), dtype=bool, count=len(a)
+    )
+
+
+def _cosine_fn(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Cosine similarity; NULL (not NaN) for null inputs and zero-norm
+    vectors — Spark orders NaN above every double, so a NaN here would
+    make degenerate vectors rank first in desc top-k windows and pass
+    ``>= threshold`` filters. Nullable Float64 + None round-trips to a
+    true SQL NULL through Arrow."""
+    import numpy as np
+
+    valid = _valid_mask(a, b)
+    out = pd.array([None] * len(a), dtype="Float64")
+    if valid.any():
+        A, B = _mat(a[valid]), _mat(b[valid])
+        num = (A * B).sum(axis=1)
+        den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+        vals = np.where(den > 0, num / np.where(den == 0, 1.0, den), np.nan)
+        out[valid] = pd.array(
+            [None if np.isnan(v) else float(v) for v in vals], dtype="Float64"
+        )
     return pd.Series(out)
 
 
 def _dot_fn(a: pd.Series, b: pd.Series) -> pd.Series:
-    A, B = _mat(a), _mat(b)
-    return pd.Series((A * B).sum(axis=1))
+    valid = _valid_mask(a, b)
+    out = pd.array([None] * len(a), dtype="Float64")
+    if valid.any():
+        A, B = _mat(a[valid]), _mat(b[valid])
+        out[valid] = pd.array([float(v) for v in (A * B).sum(axis=1)], dtype="Float64")
+    return pd.Series(out)
 
 
 # pandas_udf parses the return-type DDL against the active session, so

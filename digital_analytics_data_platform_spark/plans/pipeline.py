@@ -34,7 +34,7 @@ from pyspark.sql import types as T
 from ..lake.merge import MergeResult, merge_changes
 from ..lake.table import LakeTable
 from .quality import run_quality_checks
-from .transcripts import build_silver, gold_daily_wide, gold_weekly_wide
+from .transcripts import build_silver, gold_daily_wide, gold_long, gold_weekly_wide
 
 
 @dataclass
@@ -43,6 +43,8 @@ class MedallionResult:
     silver: MergeResult | None = None
     gold_daily: MergeResult | None = None
     gold_weekly: MergeResult | None = None
+    gold_daily_long: MergeResult | None = None
+    gold_weekly_long: MergeResult | None = None
     qa: list = field(default_factory=list)
 
 
@@ -99,15 +101,40 @@ class MedallionPipeline:
             spark, bronze_tbl, batch, batch_key=f"bronze:{batch_id}", strategy=self.strategy
         )
         out = MedallionResult(bronze=res_b)
-        if res_b.skipped or not res_b.affected_buckets:
+        if res_b.skipped:
+            # Replay of an already-ledgered batch: Bronze is a no-op, but a
+            # crash between the Bronze commit and the downstream merges
+            # would otherwise leave Silver/Gold permanently missing this
+            # batch. Re-derive the bucket scope from the batch itself and
+            # keep going — each downstream layer's own ledger key makes
+            # already-completed merges no-ops.
+            snap = bronze_tbl.snapshot()
+            affected = sorted(
+                r["_b"]
+                for r in batch.filter(F.col("conv_id").isNotNull())
+                .select(
+                    F.pmod(F.xxhash64("conv_id"), F.lit(snap.n_buckets)).cast("int").alias("_b")
+                )
+                .distinct()
+                .collect()
+            )
+        else:
+            affected = res_b.affected_buckets
+        if not affected:
             return out
+        self._rebuild_downstream(spark, bronze_tbl, affected, batch_id, out)
+        return out
 
+    def _rebuild_downstream(
+        self, spark: SparkSession, bronze_tbl: LakeTable, affected: list[int],
+        batch_id, out: MedallionResult,
+    ) -> None:
+        """Silver/Gold recompute scoped to the touched Bronze buckets —
+        shared by the normal apply path and the reconcile backfill."""
         # ---- Silver: re-enrich only the touched Bronze buckets ----------
         from ..lake.table import DELETED_COL
 
-        touched_all = bronze_tbl.read(
-            spark, buckets=res_b.affected_buckets, include_deleted=True
-        )
+        touched_all = bronze_tbl.read(spark, buckets=affected, include_deleted=True)
         touched = touched_all.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
         silver_rows = build_silver(touched, self.conv_dim)
         # carry lsn as the LWW order (same total order as Bronze)
@@ -121,8 +148,13 @@ class MedallionPipeline:
 
         # Deletes don't appear in Bronze reads; propagate tombstones so a
         # turn deleted upstream disappears downstream too.
-        self._propagate_deletes(spark, bronze_tbl, silver_tbl, res_b, batch_id)
+        self._propagate_deletes(spark, bronze_tbl, silver_tbl, affected, batch_id)
+        self._rebuild_gold(spark, bronze_tbl, silver_tbl, touched_all, batch_id, out)
 
+    def _rebuild_gold(
+        self, spark: SparkSession, bronze_tbl: LakeTable, silver_tbl: LakeTable,
+        touched_all: DataFrame, batch_id, out: MedallionResult,
+    ) -> None:
         # ---- Gold: recompute touched conversations from Silver ----------
         # `_order` is the apply sequence (Bronze snapshot version), NOT
         # max(lsn): a recompute after a delete can have a *lower* max
@@ -130,9 +162,12 @@ class MedallionPipeline:
         # sequence is monotone per batch, so later recomputes always win.
         apply_seq = bronze_tbl.snapshot().version
         # scope includes tombstoned conversations (a fully-deleted conv
-        # must still drive gold scoped deletes), hence touched_all
+        # must still drive gold scoped deletes), hence touched_all.
+        # No broadcast hint: the touched set is O(batch keys) — unbounded
+        # at 100M-event batches. AQE picks broadcast when it's actually
+        # small.
         conv_keys = touched_all.select("conv_id").distinct()
-        silver_state = silver_tbl.read(spark).join(F.broadcast(conv_keys), "conv_id", "left_semi")
+        silver_state = silver_tbl.read(spark).join(conv_keys, "conv_id", "left_semi")
         daily = gold_daily_wide(silver_state).withColumn("_order", F.lit(apply_seq).cast("long"))
         gold_d_tbl = self._ensure("gold_daily", daily, ["day", "conv_id"], ["_order"])
         daily_full = self._with_scoped_deletes(spark, gold_d_tbl, daily, ["day", "conv_id"], conv_keys, apply_seq)
@@ -148,15 +183,95 @@ class MedallionPipeline:
             spark, gold_w_tbl, weekly_full, batch_key=f"gold_weekly:{batch_id}", strategy="cow"
         )
 
+        # ---- Gold long shapes: same MERGE discipline, key extended with
+        # metric_name (the reference ships every mart daily/weekly ×
+        # wide/long, ``sql/02_SDI_SA360/README.md:27-32``; long-mart MERGE
+        # keys per ``…daily_long.sql:70-73``).
+        out.gold_daily_long = self._merge_long(
+            spark, "gold_daily_long", daily.drop("_order"), ["day", "conv_id"],
+            conv_keys, apply_seq, f"gold_daily_long:{batch_id}",
+        )
+        out.gold_weekly_long = self._merge_long(
+            spark, "gold_weekly_long", weekly.drop("_order"), ["qgp_week", "conv_id"],
+            conv_keys, apply_seq, f"gold_weekly_long:{batch_id}",
+        )
+
         if self.run_qa:
             out.qa = run_quality_checks(
                 bronze_tbl.read(spark),
                 silver_tbl.read(spark),
                 gold_d_tbl.read(spark).drop("_order"),
                 gold_w_tbl.read(spark).drop("_order"),
+                gold_daily_long=self.read(spark, "gold_daily_long"),
                 out_dir=os.path.join(self.base_dir, "qa"),
             )
+
+    def reconcile_backfill(self, spark: SparkSession, corrected: DataFrame, start, end) -> MedallionResult:
+        """S7: replay a corrected feed for ``ts ∈ [start, end)`` through
+        the whole medallion. Bronze AND Silver windows are physically
+        replaced (:func:`…lake.merge.reconcile_backfill`) — corrections
+        may carry *older* ts than the wrong rows they supersede, so the
+        LWW merge must not arbitrate them — then Gold rebuilds via the
+        normal monotone apply-sequence recompute for exactly the touched
+        buckets."""
+        from ..lake.merge import reconcile_backfill as lake_reconcile
+        from ..lake.table import DELETED_COL
+
+        bronze_tbl = LakeTable.load(self._path("bronze"))
+        batch_id = f"reconcile:{start}:{end}"
+        res_b = lake_reconcile(
+            spark, bronze_tbl, corrected, start, end, batch_key=f"bronze:{batch_id}"
+        )
+        out = MedallionResult(bronze=res_b)
+        affected = res_b.affected_buckets
+        if not affected:
+            return out
+
+        # Silver window-replace: feed = enriched bronze window rows plus
+        # tombstones for keys the correction deleted (their D winners
+        # survive in bronze as in-window tombstones).
+        touched_all = bronze_tbl.read(spark, buckets=affected, include_deleted=True)
+        in_window = (F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end))
+        live = touched_all.filter(in_window & ~F.col(DELETED_COL)).drop(DELETED_COL)
+        silver_feed = build_silver(live, self.conv_dim).withColumn("op", F.lit("U"))
+        dead = (
+            touched_all.filter(in_window & F.col(DELETED_COL))
+            .select("conv_id", "turn_idx", "ts", "lsn")
+            .withColumn("op", F.lit("D"))
+        )
+        silver_tbl = self._ensure("silver", silver_feed.drop("op"), ["conv_id", "turn_idx"], ["ts", "lsn"])
+        for c in silver_feed.columns:
+            if c not in dead.columns:
+                dead = dead.withColumn(c, F.lit(None).cast(silver_feed.schema[c].dataType))
+        out.silver = lake_reconcile(
+            spark, silver_tbl, silver_feed.unionByName(dead.select(*silver_feed.columns)),
+            start, end, batch_key=f"silver:{batch_id}",
+        )
+        self._rebuild_gold(spark, bronze_tbl, silver_tbl, touched_all, batch_id, out)
         return out
+
+    def register_views(self, spark: SparkSession, prefix: str = "vw_") -> list[str]:
+        """S10: the consumption layer — one temp view per persisted mart
+        (the reference's thin Gold views,
+        ``sql/02_SDI_SA360/03_GOLD/Views/vw_gold_sdi_sa360_campaign_daily_wide.sql``).
+        Views read the current snapshot lazily; dashboards query these,
+        never the files."""
+        layers = ["bronze", "silver", "gold_daily", "gold_weekly", "gold_daily_long", "gold_weekly_long"]
+        registered = []
+        for layer in layers:
+            if LakeTable.exists(self._path(layer)):
+                self.read(spark, layer).createOrReplaceTempView(f"{prefix}{layer}")
+                registered.append(f"{prefix}{layer}")
+        return registered
+
+    def _merge_long(
+        self, spark, layer: str, wide: DataFrame, ids: list[str], conv_keys: DataFrame,
+        apply_seq: int, batch_key: str,
+    ) -> MergeResult:
+        long = gold_long(wide, ids).withColumn("_order", F.lit(apply_seq).cast("long"))
+        tbl = self._ensure(layer, long, ids + ["metric_name"], ["_order"])
+        full = self._with_scoped_deletes(spark, tbl, long, ids + ["metric_name"], conv_keys, apply_seq)
+        return merge_changes(spark, tbl, full, batch_key=batch_key, strategy="cow")
 
     def _with_scoped_deletes(
         self, spark, gold_tbl: LakeTable, recomputed: DataFrame, keys: list[str], conv_keys: DataFrame, apply_seq: int
@@ -167,7 +282,7 @@ class MedallionPipeline:
         recompute (all their turns deleted) become tombstones."""
         existing = (
             gold_tbl.read(spark)
-            .join(F.broadcast(conv_keys), "conv_id", "left_semi")
+            .join(conv_keys, "conv_id", "left_semi")
             .select(*keys)
         )
         gone = existing.join(recomputed.select(*keys), keys, "left_anti")
@@ -181,13 +296,13 @@ class MedallionPipeline:
                 tomb = tomb.withColumn(c, F.lit(None).cast(recomputed.schema[c].dataType))
         return recomputed.withColumn("op", F.lit("U")).unionByName(tomb)
 
-    def _propagate_deletes(self, spark, bronze_tbl, silver_tbl, res_b, batch_id) -> None:
+    def _propagate_deletes(self, spark, bronze_tbl, silver_tbl, affected, batch_id) -> None:
         """Keys tombstoned in Bronze's touched buckets get tombstoned in
         Silver with the same (ts, lsn) order — LWW keeps it idempotent."""
         from ..lake.table import DELETED_COL
 
         dead = (
-            bronze_tbl.read(spark, buckets=res_b.affected_buckets, include_deleted=True)
+            bronze_tbl.read(spark, buckets=affected, include_deleted=True)
             .filter(F.col(DELETED_COL))
             .select("conv_id", "turn_idx", "ts", "lsn")
         )

@@ -935,6 +935,28 @@ def q_text_fingerprint(spark, sf_dir):
     )
 
 
+def q_text_fingerprint_md5(spark, sf_dir):
+    """Portable content fingerprint: md5 of the normalized text — the
+    reference's sha256 file-manifest discipline applied per document
+    (``workflows/01_competitive_offers_ai_extraction/notebooks/
+    01_Notebook_v8.ipynb:215``). Oracle-checkable (md5 is standard),
+    unlike the xxhash64 engine-internal fingerprint."""
+    from .operators.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.md5(F.encode(normalize_text(F.col("text")), "utf-8")).alias("content_md5")
+    )
+
+
+SQL_FINGERPRINT_MD5 = """
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text),
+           '[^\\p{L}0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS content_md5
+FROM documents
+"""
+
+
 def q_embedding_cosine_pairs(spark, sf_dir):
     """Embedding-cosine similar-pairs, exact (brute-force a<b); the
     LSH-bucketed scale path is q_embedding_near_dups_lsh. Threshold 0.4
@@ -1057,11 +1079,54 @@ def q_simhash_near_dups(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """No SQL oracle (shingle arrays); tests cover semantics."""
+    """Exact n-gram Jaccard pairs over the shingle inverted index, WITH
+    the hot-shingle pruning guard engaged (``max_shingle_df``): the
+    shingle-keyed self-join is quadratic in the hottest shingle's
+    document frequency, so the registry/bench path must exercise the
+    same plan the 100 TB deployment would run. df ≤ 100 keeps every
+    discriminative shingle at sf0.01 (500 docs) while bounding
+    boilerplate fan-out."""
     from .operators.docdedupe import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, min_jaccard=0.4)
+    out = ngram_jaccard_pairs(d, min_jaccard=0.4, max_shingle_df=100)
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_NGRAM_JACCARD = """
+WITH norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(regexp_replace(lower(text),
+             '[^\\p{L}0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_transform(range(1, len(w) - 1),
+                                  i -> array_to_string(w[i:i+2], ' '))
+         END AS shs
+  FROM norm
+), sizes AS (
+  SELECT doc_id, len(list_distinct(shs)) AS n FROM sh
+), inv0 AS (
+  SELECT doc_id, unnest(list_distinct(shs)) AS shingle FROM sh
+), rare AS (
+  SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) <= 100
+), inv AS (
+  SELECT inv0.* FROM inv0 WHERE shingle IN (SELECT shingle FROM rare)
+), co AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+  FROM inv x JOIN inv y USING (shingle)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(inter / (na + nb - inter), 6) AS jaccard
+FROM (
+  SELECT co.a, co.b, co.inter * 1.0 AS inter, sa.n AS na, sb.n AS nb
+  FROM co JOIN sizes sa ON co.a = sa.doc_id JOIN sizes sb ON co.b = sb.doc_id
+)
+WHERE inter / (na + nb - inter) >= 0.4
+"""
 
 
 def q_lsh_ann(spark, sf_dir):
@@ -1090,11 +1155,20 @@ def q_ivf_ann(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     """No SQL oracle (mapInPandas feature extraction); deterministic
-    fake-decode covered by tests."""
+    fake-decode covered by tests. Scalar columns only — the feature
+    vector is hashed so the rows-only harness can canonicalize (a raw
+    array<float> column is unhashable driver-side)."""
     from .operators.multimodal import extract_features, synthetic_media
 
     media = synthetic_media(spark, 200)
-    return extract_features(media, fake_decode=True)
+    feats = extract_features(media, fake_decode=True)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round("byte_entropy", 6).alias("byte_entropy"),
+        F.xxhash64(F.col("feature").cast("string")).alias("feature_hash"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1136,6 +1210,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_exact_dedupe": q_text_exact_dedupe,
     "text_quality_score": q_text_quality_score,
     "text_fingerprint": q_text_fingerprint,
+    "text_fingerprint_md5": q_text_fingerprint_md5,
     "ann_brute_topk": q_ann_brute_topk,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
@@ -1186,4 +1261,6 @@ ORACLES: dict[str, str] = {
     "text_quality_score": SQL_QUALITY,
     "ann_brute_topk": SQL_ANN_BRUTE,
     "embedding_cosine_pairs": SQL_EMB_PAIRS,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "text_fingerprint_md5": SQL_FINGERPRINT_MD5,
 }

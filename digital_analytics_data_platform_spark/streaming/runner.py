@@ -36,6 +36,10 @@ class StreamMetrics:
     inserts: int = 0
     updates: int = 0
     deletes: int = 0
+    # MOR-mode batch winners (inserts *and* updates of existing keys are
+    # indistinguishable without reading the table); kept separate from
+    # `inserts` so cow-vs-mor telemetry stays comparable.
+    upserts: int = 0
     skipped_batches: int = 0
     wall_s: float = 0.0
 
@@ -83,7 +87,8 @@ def apply_stream(
         else:
             metrics.events += res.events_in
             metrics.quarantined += res.quarantined
-            metrics.inserts += res.inserts + res.upserts
+            metrics.inserts += res.inserts
+            metrics.upserts += res.upserts
             metrics.updates += res.updates
             metrics.deletes += res.deletes
         if compact_every and not res.skipped and metrics.batches % compact_every == 0:

@@ -79,6 +79,109 @@ def test_medallion_delete_cascades_to_gold(spark, tmp_path):
     assert p.read(spark, "gold_daily").filter("conv_id = 'c2'").count() == 1
 
 
+def test_medallion_long_marts_persisted(spark, tmp_path):
+    """The reference ships every mart daily/weekly × wide/long
+    (sql/02_SDI_SA360/README.md:27-32) — all four shapes on disk and
+    long == wide per metric."""
+    p = _pipe(tmp_path)
+    log = datagen.change_log(spark, 2_000, n_convs=20, turns_per_conv=10)
+    p.apply_batch(spark, log, 0)
+    daily = p.read(spark, "gold_daily")
+    dlong = p.read(spark, "gold_daily_long")
+    wlong = p.read(spark, "gold_weekly_long")
+    assert set(dlong.columns) == {"day", "conv_id", "metric_name", "metric_value"}
+    assert wlong.count() > 0
+    lt = dlong.filter("metric_name = 'total_tokens'").agg(F.sum("metric_value")).collect()[0][0]
+    wt = daily.agg(F.sum("total_tokens")).collect()[0][0]
+    assert abs(lt - wt) < 1e-6
+    # deletes cascade into the long shapes too
+    conv = daily.first()["conv_id"]
+    turns = p.read(spark, "bronze").filter(F.col("conv_id") == conv).collect()
+    tombs = cdc_rows(
+        spark, [("D", conv, t["turn_idx"], None, None, None, 10**6, 10**6 + i) for i, t in enumerate(turns)]
+    )
+    p.apply_batch(spark, tombs, 1)
+    assert p.read(spark, "gold_daily_long").filter(F.col("conv_id") == conv).count() == 0
+
+
+def test_medallion_bronze_skip_still_rebuilds_downstream(spark, tmp_path):
+    """Crash-recovery hole (ADVICE r1): bronze commit succeeded, crash
+    before silver/gold. The replayed batch skips bronze via the ledger
+    but MUST still run the downstream merges."""
+    import os
+    import shutil
+
+    p = _pipe(tmp_path)
+    b0 = cdc_rows(spark, [("I", "c1", 0, "user", "hello", None, 10, 1)])
+    p.apply_batch(spark, b0, 0)
+    # batch 1: bronze commit lands, then "crash" — simulate by merging
+    # bronze directly without the pipeline
+    from digital_analytics_data_platform_spark.lake import LakeTable, merge_changes
+
+    b1 = cdc_rows(spark, [("I", "c2", 0, "user", "second conv", None, 20, 2)])
+    bronze_tbl = LakeTable.load(os.path.join(p.base_dir, "bronze"))
+    merge_changes(spark, bronze_tbl, b1, batch_key="bronze:1")
+    assert p.read(spark, "silver").filter("conv_id = 'c2'").count() == 0
+    # recovery: replay batch 1 through the pipeline — bronze skips,
+    # downstream must still materialize c2
+    r = p.apply_batch(spark, b1, 1)
+    assert r.bronze.skipped
+    assert p.read(spark, "silver").filter("conv_id = 'c2'").count() == 1
+    assert p.read(spark, "gold_daily").filter("conv_id = 'c2'").count() == 1
+
+
+def test_medallion_reconcile_backfill(spark, tmp_path):
+    """S7: a corrected feed replaces the window [start, end) wholesale —
+    including corrections with OLDER ts than the wrong rows — and the
+    downstream layers converge to the corrected state."""
+    from datetime import datetime, timezone
+
+    def _ts(s):
+        return datetime.fromtimestamp(1767225600 + s, tz=timezone.utc).replace(tzinfo=None)
+
+    p = _pipe(tmp_path)
+    p.apply_batch(
+        spark,
+        cdc_rows(
+            spark,
+            [
+                ("I", "c1", 0, "user", "wrong text", None, 100, 1),
+                ("I", "c1", 1, "assistant", "also wrong", None, 110, 2),
+                ("I", "c2", 0, "user", "outside window", None, 5000, 3),
+            ],
+        ),
+        0,
+    )
+    # corrected feed for [50, 1000): c1/0 fixed with an OLDER ts than the
+    # wrong row; c1/1 is gone entirely (window replace must delete it)
+    corrected = cdc_rows(spark, [("U", "c1", 0, "user", "right text", None, 60, 50)])
+    r = p.reconcile_backfill(spark, corrected, _ts(50), _ts(1000))
+    assert r.bronze.affected_buckets
+    bronze = p.read(spark, "bronze")
+    assert bronze.filter("conv_id = 'c1'").count() == 1
+    assert bronze.filter("conv_id = 'c1'").first()["text"] == "right text"
+    assert bronze.filter("conv_id = 'c2'").count() == 1  # untouched outside window
+    silver = p.read(spark, "silver")
+    assert silver.filter("conv_id = 'c1'").count() == 1
+    assert silver.filter("conv_id = 'c1'").first()["text"] == "right text"
+    # gold re-aggregated: c1 now has 1 turn
+    gd = p.read(spark, "gold_daily").filter("conv_id = 'c1'").collect()
+    assert len(gd) == 1 and gd[0]["n_turns"] == 1
+    # replaying the same reconcile is a ledger no-op
+    r2 = p.reconcile_backfill(spark, corrected, _ts(50), _ts(1000))
+    assert r2.bronze.skipped
+
+
+def test_register_views(spark, tmp_path):
+    p = _pipe(tmp_path)
+    p.apply_batch(spark, cdc_rows(spark, [("I", "c1", 0, "user", "hello", None, 10, 1)]), 0)
+    views = p.register_views(spark)
+    assert "vw_gold_daily_wide" not in views  # names match layer dirs
+    assert "vw_bronze" in views and "vw_gold_daily_long" in views
+    assert spark.sql("SELECT count(*) AS n FROM vw_bronze").collect()[0]["n"] == 1
+    assert spark.sql("SELECT count(*) AS n FROM vw_gold_weekly_long").collect()[0]["n"] > 0
+
+
 def test_medallion_update_reaggregates_gold(spark, tmp_path):
     p = _pipe(tmp_path)
     p.apply_batch(

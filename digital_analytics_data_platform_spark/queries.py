@@ -689,6 +689,87 @@ FROM part
 """
 
 
+# P8 — NULL-safe grouping key (sentinel)
+# ref: sql/07_SDI_CRITEO/01_BRONZE/01_sp_merge_sdi_bronze_criteo_campaign_daily.sql:66
+def q_p8_null_key_sentinel(spark, sf_dir):
+    """Testdata carries no NULLs, so a deterministic slice is nulled
+    first (event_id % 11), then grouped through the sentinel — NULL keys
+    form one explicit '__NULL__' group instead of vanishing or
+    colliding."""
+    from .functions import null_key_sentinel
+
+    e = _t(spark, sf_dir, "events")
+    keyed = e.withColumn(
+        "etype",
+        F.when(F.col("event_id") % 11 == 0, F.lit(None)).otherwise(F.col("event_type")),
+    )
+    return keyed.groupBy(null_key_sentinel("etype").alias("event_key")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+
+
+SQL_P8 = """
+SELECT coalesce(CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_type END, '__NULL__') AS event_key,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+# P11 — math/stat scalar battery (row-level, all codegen'd)
+# ref: rate/score arithmetic throughout, e.g. sql/02_SDI_SA360/03_GOLD/MERGE/
+#      01_sp_merge_sdi_gold_sa360_campaign_daily.sql:73-98
+def q_p11_math_scalars(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey",
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.abs(F.col("l_discount") - F.lit(0.05)), 6).alias("abs_disc"),
+        F.ceil("l_extendedprice").alias("ceil_price"),
+        F.floor("l_extendedprice").alias("floor_price"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+        F.round(F.pow("l_quantity", F.lit(2.0)), 4).alias("qty_sq"),
+        F.signum(F.col("l_discount") - F.col("l_tax")).alias("sign_dt"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).alias("mod7"),
+    )
+
+
+SQL_P11 = """
+SELECT l_orderkey,
+       round(sqrt(l_quantity), 6) AS sqrt_qty,
+       round(abs(l_discount - 0.05), 6) AS abs_disc,
+       ceil(l_extendedprice) AS ceil_price,
+       floor(l_extendedprice) AS floor_price,
+       round(ln(l_extendedprice), 6) AS ln_price,
+       round(power(l_quantity, 2.0), 4) AS qty_sq,
+       sign(l_discount - l_tax) AS sign_dt,
+       greatest(l_discount, l_tax) AS max_rate,
+       least(l_discount, l_tax) AS min_rate,
+       l_orderkey % 7 AS mod7
+FROM lineitem WHERE l_linenumber = 1
+"""
+
+
+# T1/T2 — ORDER BY consumption + LIMIT/OFFSET pagination
+# ref: consumption views, sql/02_SDI_SA360/03_GOLD/Views/vw_gold_sdi_sa360_campaign_daily_wide.sql
+def q_t1_ordered_page(spark, sf_dir):
+    """Deterministic pagination: unique tiebreak (o_orderkey) so the
+    page is stable across engines — the dashboard-consumption idiom."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_t1_orders")
+    return spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM _t1_orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 10"
+    )
+
+
+SQL_T1 = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 10
+"""
+
+
 # W7 — RANK / DENSE_RANK
 # ref: sql/17_SDI_PULSE_APPENDIX (QA/appendix queries)
 def q_w7_rank(spark, sf_dir):
@@ -802,6 +883,93 @@ FROM (
          (date_trunc('quarter', d) + INTERVAL 3 MONTH - INTERVAL 1 DAY)::date AS qe
   FROM (SELECT DISTINCT o_orderdate::date AS d FROM orders)
 )
+"""
+
+
+# J5 prior-year variant / §2.7 — YoY weekly comparison through the QGP
+# calendar's prior-year ISO-week mapping
+# ref: sql/20_SDI_MFC_BQ/01_BRONZE/00_sdi_vw_mfc_dim_qgp_calendar.sql:90-107
+def q_yoy_weekly(spark, sf_dir):
+    """Weekly revenue vs the same ISO week one year earlier, mapped via
+    the calendar dimension (NORMAL↔NORMAL / BOUNDARY_FIRST↔
+    BOUNDARY_FIRST; stubs get NULL). The calendar is bounded (~52
+    rows/yr) and always the broadcast side."""
+    from .operators.calendar import qgp_calendar
+
+    o = _t(spark, sf_dir, "orders")
+    weekly = (
+        o.groupBy(qgp_week(F.col("o_orderdate").cast("date")).alias("qgp_week"))
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("sum_value"))
+    )
+    cal = qgp_calendar(spark, "1992-01-01", "1998-12-31").select(
+        "qgp_week", "prior_year_qgp_week"
+    )
+    prior = weekly.select(
+        F.col("qgp_week").alias("prior_year_qgp_week"),
+        F.col("sum_value").alias("prior_year_value"),
+    )
+    return (
+        weekly.join(F.broadcast(cal), "qgp_week", "inner")
+        .join(F.broadcast(prior), "prior_year_qgp_week", "left")
+        .select(
+            "qgp_week",
+            "sum_value",
+            # string-typed: a NULL date canonicalizes differently between
+            # Arrow (None) and DuckDB (NaT) in the harness compare
+            F.col("prior_year_qgp_week").cast("string").alias("prior_year_qgp_week"),
+            "prior_year_value",
+            F.round(
+                F.try_divide(F.col("sum_value"), F.col("prior_year_value")), 6
+            ).alias("yoy_ratio"),
+        )
+    )
+
+
+SQL_YOY_WEEKLY = """
+WITH days AS (
+  SELECT unnest(generate_series(DATE '1992-01-01', DATE '1998-12-31', INTERVAL 1 DAY))::date AS d
+), qgp AS (
+  SELECT d, qe, CASE WHEN qe < sat THEN qe ELSE sat END AS qgp_week
+  FROM (
+    SELECT d,
+           (d + ((6 - extract(isodow FROM d)::int % 7 + 7) % 7))::date AS sat,
+           (date_trunc('quarter', d) + INTERVAL 3 MONTH - INTERVAL 1 DAY)::date AS qe
+    FROM days
+  )
+), typed AS (
+  SELECT qgp_week,
+         CASE WHEN count(*) = 7 THEN 'NORMAL'
+              WHEN qgp_week = max(qe) THEN 'BOUNDARY_STUB'
+              ELSE 'BOUNDARY_FIRST' END AS week_type,
+         isoyear(qgp_week) AS iso_year,
+         weekofyear(qgp_week) AS iso_week
+  FROM qgp GROUP BY qgp_week
+), cal AS (
+  SELECT t.qgp_week, ly.qgp_week AS prior_year_qgp_week
+  FROM typed t
+  LEFT JOIN typed ly
+    ON ly.iso_week = t.iso_week AND ly.iso_year = t.iso_year - 1
+   AND ly.week_type = t.week_type AND ly.week_type != 'BOUNDARY_STUB'
+), weekly AS (
+  SELECT qgp_week, round(sum(o_totalprice), 4) AS sum_value
+  FROM (
+    SELECT CASE WHEN qe < sat THEN qe ELSE sat END AS qgp_week, o_totalprice
+    FROM (
+      SELECT (o_orderdate::date + ((6 - extract(isodow FROM o_orderdate::date)::int % 7 + 7) % 7))::date AS sat,
+             (date_trunc('quarter', o_orderdate::date) + INTERVAL 3 MONTH - INTERVAL 1 DAY)::date AS qe,
+             o_totalprice
+      FROM orders
+    )
+  )
+  GROUP BY 1
+)
+SELECT w.qgp_week, w.sum_value,
+       CAST(c.prior_year_qgp_week AS VARCHAR) AS prior_year_qgp_week,
+       p.sum_value AS prior_year_value,
+       round(w.sum_value / p.sum_value, 6) AS yoy_ratio
+FROM weekly w
+JOIN cal c USING (qgp_week)
+LEFT JOIN weekly p ON p.qgp_week = c.prior_year_qgp_week
 """
 
 
@@ -1012,6 +1180,32 @@ def q_gold_weekly_long(spark, sf_dir):
     return unpivot(weekly, ["qgp_week", "event_type"], ["sum_value", "n_events"])
 
 
+def q_gold_daily_long(spark, sf_dir):
+    """Daily long mart: day-grain wide rollup → unpivot, key extended
+    with metric_name — the shape `MedallionPipeline` persists for the
+    gold_daily_long layer. ref: sql/02_SDI_SA360/03_GOLD/MERGE/
+    02_sp_merge_sdi_gold_sa360_campaign_daily_long.sql:48-73."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day"), "event_type").agg(
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+    )
+    return unpivot(daily, ["day", "event_type"], ["sum_value", "n_events"])
+
+
+SQL_GOLD_DAILY_LONG = """
+WITH daily AS (
+  SELECT ts::date AS day, event_type, round(sum(value), 4) AS sum_value,
+         count(*)::double AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT day, event_type, metric_name, metric_value FROM (
+  SELECT day, event_type, 'sum_value' AS metric_name, sum_value AS metric_value FROM daily
+  UNION ALL SELECT day, event_type, 'n_events', n_events FROM daily
+) WHERE metric_value IS NOT NULL
+"""
+
+
 SQL_GOLD_LONG = """
 WITH daily AS (
   SELECT ts::date AS day, event_type, sum(value) AS day_value, count(*) AS day_events
@@ -1202,9 +1396,14 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t10_date_spine": q_t10_date_spine,
     "w7_rank": q_w7_rank,
     "p_defensive_projection": q_p_defensive_projection,
+    "p8_null_key_sentinel": q_p8_null_key_sentinel,
+    "p11_math_scalars": q_p11_math_scalars,
+    "t1_ordered_page": q_t1_ordered_page,
     "p10_date_functions": q_p10_date_functions,
     "qgp_week": q_qgp_week,
+    "yoy_weekly": q_yoy_weekly,
     "gold_weekly_long": q_gold_weekly_long,
+    "gold_daily_long": q_gold_daily_long,
     "text_language_id": q_text_language_id,
     "text_token_count": q_text_token_count,
     "text_exact_dedupe": q_text_exact_dedupe,
@@ -1246,7 +1445,11 @@ ORACLES: dict[str, str] = {
     "t6_unpivot": SQL_T6,
     "t9_except_intersect": SQL_T9,
     "p_defensive_projection": SQL_P,
+    "p8_null_key_sentinel": SQL_P8,
+    "p11_math_scalars": SQL_P11,
+    "t1_ordered_page": SQL_T1,
     "qgp_week": SQL_QGP,
+    "yoy_weekly": SQL_YOY_WEEKLY,
     "a3_metric_extraction": SQL_A3,
     "j3_full_outer_chain": SQL_J3,
     "j5_wow_self_join": SQL_J5,
@@ -1255,6 +1458,7 @@ ORACLES: dict[str, str] = {
     "w7_rank": SQL_W7,
     "p10_date_functions": SQL_P10,
     "gold_weekly_long": SQL_GOLD_LONG,
+    "gold_daily_long": SQL_GOLD_DAILY_LONG,
     "text_language_id": _duck_lang_sql(),
     "text_token_count": SQL_TOKENS,
     "text_exact_dedupe": SQL_EXACT_DEDUPE,

@@ -136,6 +136,31 @@ def test_qgp_calendar_classification(spark):
     assert all(r["days_in_period"] < 7 for r in stub)
 
 
+def test_qgp_calendar_prior_year_mapping(spark):
+    """Prior-year pointer joins on (iso_week, iso_year-1, week_type)
+    across a year boundary; stub weeks get NULL WoW and prior-year
+    pointers (ref 00_sdi_vw_mfc_dim_qgp_calendar.sql:83-107)."""
+    cal = qgp_calendar(spark, "2024-01-01", "2026-12-31")
+    rows = {str(r["qgp_week"]): r for r in cal.collect()}
+    # 2026-01-10 (Saturday, NORMAL, ISO 2026-W02) ↔ 2025-01-11 (ISO 2025-W02)
+    r = rows["2026-01-10"]
+    assert r["week_type"] == "NORMAL"
+    assert str(r["prior_year_qgp_week"]) == "2025-01-11"
+    # year-boundary week: first NORMAL Saturday of 2026 after the Q4'25 stub
+    # stub weeks carry NULL pointers
+    stubs = cal.filter("week_type = 'BOUNDARY_STUB'").collect()
+    assert stubs and all(r["prior_week"] is None for r in stubs)
+    assert all(r["prior_year_qgp_week"] is None for r in stubs)
+    # BOUNDARY_FIRST prior_week skips the stub (lands on a NORMAL Saturday)
+    firsts = cal.filter("week_type = 'BOUNDARY_FIRST' AND prior_week IS NOT NULL").collect()
+    assert firsts
+    for r in firsts:
+        assert rows[str(r["prior_week"])]["week_type"] == "NORMAL"
+    # every NORMAL week beyond the first year maps to a prior-year NORMAL week
+    n26 = cal.filter("week_type = 'NORMAL' AND qgp_week >= '2026-02-01'").collect()
+    assert n26 and all(r["prior_year_qgp_week"] is not None for r in n26)
+
+
 def test_text_operators(spark):
     df = spark.createDataFrame(
         [

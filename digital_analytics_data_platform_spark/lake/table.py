@@ -231,10 +231,19 @@ class LakeTable:
 
         commit_dir = f"data/{uuid.uuid4().hex}"
         out = os.path.join(self.path, commit_dir)
+        snap = self.snapshot()
+        # EXPLICIT partition count (buckets × salt): the write stage's
+        # parallelism is the physical layout, not a shuffle-size
+        # heuristic — without it AQE coalesces the bucket repartition to
+        # ~data/64MB tasks, capping write parallelism far below the
+        # core count at small batches (measured: flat 4→16-core scaling)
+        n_parts = snap.n_buckets * max(write_salt, 1)
         if write_salt > 1:
-            salted = df.repartition(F.col(bucket_col), F.pmod(F.xxhash64(F.col(self.snapshot().key_cols[-1])), F.lit(write_salt)))
+            salted = df.repartition(
+                n_parts, F.col(bucket_col), F.pmod(F.xxhash64(F.col(snap.key_cols[-1])), F.lit(write_salt))
+            )
         else:
-            salted = df.repartition(F.col(bucket_col))
+            salted = df.repartition(n_parts, F.col(bucket_col))
         t0 = time.monotonic()
         salted.write.partitionBy(bucket_col).mode("overwrite").parquet(out)
         t1 = time.monotonic()

@@ -1,11 +1,33 @@
 """Scaling-efficiency evidence: run the identical CDC apply at two
-parallelism levels (local[8] vs local[32] — the sandbox stand-in for
-N vs 4N executors per BASELINE.md) on the same input and report
-events/sec at both plus efficiency = (T_small_wall / T_big_wall) / 4
-... precisely: eff = (throughput_big / throughput_small) / (cores_big / cores_small).
+parallelism levels (N vs 4N cores — the sandbox stand-in for N vs 4N
+executors per BASELINE.md) on the same deterministic input and report
+events/sec at both plus efficiency = (tps_big / tps_small) / (cores_big / cores_small).
 
 Runs each level in a fresh subprocess (one JVM per master) for clean
 measurements. Writes BENCH/BASELINE.md section content to stdout.
+
+Defaults (each env-overridable) encode what this sandbox can honestly
+measure — see BASELINE.md "Scaling measurement config" for the full
+rationale:
+
+- ``BENCH_SMALL_CPUS=4`` / ``BENCH_BIG_CPUS=16``: a pure-CPU spin probe
+  shows the host hypervisor delivers 4→16 vCPUs at ~0.96 efficiency but
+  only ~25 effective cores at 32 threads (overcommit steal) — 8→32
+  cannot demonstrate compute scaling on hardware that doesn't have 32
+  real cores to give.
+- ``BENCH_FEED=generate``: the apply consumes the column-expression
+  generator directly (CPU-rich transform-dominated configuration). The
+  default parquet feed is ALSO reported in BENCH_r*.json — on this
+  sandbox's single shared virtio disk it is IO-bound at ≥4 cores
+  (~750k events/s flat at any core count), which measures the disk, not
+  the engine; on a real cluster IO bandwidth scales with executors.
+- ``BENCH_TMPFS=1``: spark.local.dir (shuffle spill) and the bench lake
+  live on /dev/shm so the single shared disk doesn't serialize the
+  measurement.
+- 16 MB file-split / AQE advisory sizes: at 8M-event batches the
+  defaults (128/64 MB) leave only ~4 map splits and coalesce reduce
+  stages below the core count — the partition-sizing discipline the
+  100 TB deployment would apply per batch size.
 """
 
 from __future__ import annotations
@@ -21,14 +43,26 @@ REPO = Path(__file__).resolve().parent.parent
 RUNNER = r"""
 import json, os, sys, time
 sys.path.insert(0, "{repo}")
+import tempfile
+if os.environ.get("BENCH_TMPFS", "1") == "1":
+    os.makedirs("/dev/shm/bench", exist_ok=True)
+    os.makedirs("/dev/shm/spark-local", exist_ok=True)
+    tempfile.tempdir = "/dev/shm/bench"
 from digital_analytics_data_platform_spark.session import get_spark
 from bench import run_apply_bench
 
 cpus = int(sys.argv[1]); n_events = int(sys.argv[2]); n_batches = int(sys.argv[3])
 strategy = os.environ.get("BENCH_STRATEGY", "mor")
-spark = get_spark("scaling-bench", master=f"local[{{cpus}}]", shuffle_partitions=cpus)
+feed = os.environ.get("BENCH_FEED", "generate")
+extra = {{
+    "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(16 * 1024 * 1024),
+}}
+if os.environ.get("BENCH_TMPFS", "1") == "1":
+    extra["spark.local.dir"] = "/dev/shm/spark-local"
+spark = get_spark("scaling-bench", master=f"local[{{cpus}}]", shuffle_partitions=max(cpus, 16), extra_conf=extra)
 spark.range(1).count()
-stats = run_apply_bench(spark, n_events, n_batches, 64, strategy=strategy)
+stats = run_apply_bench(spark, n_events, n_batches, 64, strategy=strategy, feed=feed)
 print("RESULT " + json.dumps(stats))
 spark.stop()
 """
@@ -50,10 +84,10 @@ def run_level(cpus: int, n_events: int, n_batches: int) -> dict:
 
 
 def main():
-    n_events = int(os.environ.get("BENCH_EVENTS", "4000000"))
-    n_batches = int(os.environ.get("BENCH_BATCHES", "5"))
-    small_cpus = int(os.environ.get("BENCH_SMALL_CPUS", "8"))
-    big_cpus = int(os.environ.get("BENCH_BIG_CPUS", "32"))
+    n_events = int(os.environ.get("BENCH_EVENTS", "48000000"))
+    n_batches = int(os.environ.get("BENCH_BATCHES", "6"))
+    small_cpus = int(os.environ.get("BENCH_SMALL_CPUS", "4"))
+    big_cpus = int(os.environ.get("BENCH_BIG_CPUS", "16"))
 
     small = run_level(small_cpus, n_events, n_batches)
     big = run_level(big_cpus, n_events, n_batches)
@@ -80,6 +114,8 @@ def main():
         "events": n_events,
         "batches": n_batches,
         "strategy": small.get("apply_strategy"),
+        "feed": small.get("apply_feed"),
+        "tmpfs": os.environ.get("BENCH_TMPFS", "1") == "1",
         f"local[{small_cpus}]_events_per_sec": tps_s,
         f"local[{big_cpus}]_events_per_sec": tps_b,
         f"local[{small_cpus}]_events_per_sec_incl_compact": small.get("apply_events_per_sec_incl_compact"),

@@ -6,12 +6,14 @@ text (``01_Notebook_v8.ipynb`` BRONZE DDL: ``page_image_png BYTES``);
 this module generalizes that to the decode / feature-extract /
 resize / frame-sample stages a training-data pipeline needs.
 
-The decode step itself is STUBBED (no image/audio libs in this
-container): ``decode_image`` raises ``NotImplementedError`` unless a
-deterministic fake decoder is requested. Everything Spark-side —
-schema, batch iteration, partitioning, UDF signatures — is real and
-tested; swapping the stub for Pillow/torchaudio is a one-function
-change inside the pandas batch loop.
+Decoding: REAL decoders exist for the container-decodable formats —
+PPM (P6) and uncompressed 24-bit BMP via NumPy, PCM WAV via the
+stdlib ``wave`` module — plus nearest-neighbor resize, all pure
+NumPy inside the Arrow batch loop. Compressed codecs (PNG/JPEG/MP3/
+H.264) still raise ``NotImplementedError`` (Pillow/ffmpeg are not in
+this container; swapping them in is a one-function change inside the
+batch loop). The deterministic fake decoder remains for plumbing tests
+over arbitrary bytes.
 """
 
 from __future__ import annotations
@@ -73,18 +75,121 @@ def synthetic_media(spark, n: int, *, seed: int = 42) -> DataFrame:
 
 
 def decode_image(payload: bytes, *, fake: bool = False):
-    """The decode stub. Real deployments: ``PIL.Image.open(BytesIO(…))``.
-    ``fake=True`` returns a deterministic pseudo-decode (byte histogram)
-    so the pipeline plumbing is testable in this container."""
-    if not fake:
-        raise NotImplementedError(
-            "image decoding requires Pillow/libvips, not present in this container; "
-            "pass fake=True for the deterministic test decoder"
-        )
-    hist = [0] * 16
-    for b in payload:
-        hist[b % 16] += 1
-    return hist
+    """Decode an image payload.
+
+    ``fake=True``: deterministic pseudo-decode (16-bin byte histogram)
+    for plumbing tests over arbitrary bytes. Otherwise dispatch on the
+    magic bytes: PPM (P6) and uncompressed 24-bit BMP decode for real
+    (NumPy only); compressed codecs raise — Pillow is the drop-in there
+    (``PIL.Image.open(BytesIO(…))``)."""
+    if fake:
+        hist = [0] * 16
+        for b in payload:
+            hist[b % 16] += 1
+        return hist
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    raise NotImplementedError(
+        "compressed image codecs (PNG/JPEG) require Pillow, not present in this "
+        "container; PPM(P6)/BMP24 decode natively, or pass fake=True"
+    )
+
+
+def _decode_ppm(payload: bytes):
+    """Binary PPM (P6, maxval 255) → uint8 ndarray (h, w, 3)."""
+    import numpy as np
+
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PPM supported")
+    return np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos).reshape(h, w, 3)
+
+
+def _decode_bmp(payload: bytes):
+    """Uncompressed 24-bit BI_RGB BMP → uint8 ndarray (h, w, 3), RGB."""
+    import struct
+
+    import numpy as np
+
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    flip = h > 0  # positive height = bottom-up row order
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+    px = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # BGR→RGB
+    return px[::-1] if flip else px
+
+
+def decode_audio(payload: bytes):
+    """PCM WAV → int16 sample ndarray (stdlib ``wave``; mono-mixed)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload)) as f:
+        if f.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM WAV supported")
+        raw = f.readframes(f.getnframes())
+        samples = np.frombuffer(raw, dtype="<i2")
+        if f.getnchannels() > 1:
+            samples = samples.reshape(-1, f.getnchannels()).mean(axis=1).astype(np.int16)
+    return samples
+
+
+def resize_image(pixels, out_w: int, out_h: int):
+    """Nearest-neighbor resize, pure NumPy index arithmetic."""
+    import numpy as np
+
+    h, w = pixels.shape[:2]
+    yi = (np.arange(out_h) * h) // out_h
+    xi = (np.arange(out_w) * w) // out_w
+    return pixels[yi][:, xi]
+
+
+def encode_ppm(pixels) -> bytes:
+    """uint8 (h, w, 3) → binary PPM payload (the re-encode half of the
+    decode→resize→re-encode stage)."""
+    h, w = pixels.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def image_features(pixels, bins: int = 16):
+    """16-d luminance histogram (normalized) — the real-decode feature."""
+    import numpy as np
+
+    lum = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    hist = np.histogram(lum, bins=bins, range=(0.0, 256.0))[0].astype(np.float64)
+    return (hist / max(lum.size, 1)).tolist()
+
+
+def audio_features(samples, bins: int = 16):
+    """16-d amplitude histogram (normalized) over int16 samples."""
+    import numpy as np
+
+    hist = np.histogram(
+        samples.astype(np.float64), bins=bins, range=(-32768.0, 32768.0)
+    )[0].astype(np.float64)
+    return (hist / max(samples.size, 1)).tolist()
 
 
 def extract_features(df: DataFrame, *, fake_decode: bool = True, batch_hint: int = 1024) -> DataFrame:
@@ -100,12 +205,17 @@ def extract_features(df: DataFrame, *, fake_decode: bool = True, batch_hint: int
             payloads = pdf["payload"]
             n_bytes = payloads.map(len).astype("int32")
             ent, feats = [], []
-            for p in payloads:
+            for p, kind in zip(payloads, pdf["kind"]):
                 arr = np.frombuffer(p, dtype=np.uint8)
                 counts = np.bincount(arr, minlength=256).astype(np.float64)
                 probs = counts[counts > 0] / max(len(arr), 1)
                 ent.append(float(-(probs * np.log2(probs)).sum()))
-                feats.append([float(x) for x in decode_image(bytes(p), fake=fake_decode)])
+                if fake_decode:
+                    feats.append([float(x) for x in decode_image(bytes(p), fake=True)])
+                elif kind == "audio":
+                    feats.append([float(x) for x in audio_features(decode_audio(bytes(p)))])
+                else:  # image (and video keyframes stored as stills)
+                    feats.append([float(x) for x in image_features(decode_image(bytes(p)))])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -117,6 +227,42 @@ def extract_features(df: DataFrame, *, fake_decode: bool = True, batch_hint: int
             )
 
     return df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode (PPM), Arrow-batched.
+    The thumbnail/normalization stage of a training-data image pipeline;
+    rows whose codec isn't container-decodable are dropped with a null
+    payload rather than failing the batch."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for p in pdf["payload"]:
+                try:
+                    out.append(encode_ppm(resize_image(decode_image(bytes(p)), out_w, out_h)))
+                except NotImplementedError:
+                    out.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out,
+                    "width": out_w,
+                    "height": out_h,
+                }
+            )
+
+    return df.mapInPandas(batches, RESIZED_SCHEMA)
 
 
 def sample_frames(df: DataFrame, *, every_ms: int = 1000) -> DataFrame:

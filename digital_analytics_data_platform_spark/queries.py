@@ -1347,6 +1347,36 @@ def q_ivf_ann(spark, sf_dir):
     return ivf_ann_topk(e, queries, centroids, k=5, nprobe=3)
 
 
+def q_stream_windowed_rollup(spark, sf_dir):
+    """§2.9 watermarked tumbling-window rollup, driven availableNow over
+    parquet log segments (one per micro-batch) into a memory sink; the
+    returned rows are the watermark-CLOSED windows only. No SQL oracle
+    (streaming emission semantics aren't batch-SQL-expressible);
+    late-data drop + single-emission covered by
+    tests/test_streaming.py::test_streaming_watermark_window."""
+    import tempfile
+
+    from . import datagen
+    from .streaming.source import cdc_file_stream, write_log_segments
+    from .streaming.windows import run_windowed_rollup_to_memory
+
+    log = datagen.change_log(spark, 20_000, n_convs=50, turns_per_conv=10)
+    tmp = tempfile.mkdtemp(prefix="wmroll_")
+    write_log_segments(log, f"{tmp}/log", n_segments=4)
+    src = cdc_file_stream(spark, f"{tmp}/log", max_files_per_trigger=1)
+    q = run_windowed_rollup_to_memory(
+        spark,
+        src,
+        query_name="q_stream_windowed_rollup",
+        checkpoint_dir=f"{tmp}/ckpt",
+        window="10 seconds",
+        lateness="30 seconds",
+        group_cols=("role",),
+    )
+    q.awaitTermination(300)
+    return spark.table("q_stream_windowed_rollup")
+
+
 def q_multimodal_features(spark, sf_dir):
     """No SQL oracle (mapInPandas feature extraction); deterministic
     fake-decode covered by tests. Scalar columns only — the feature
@@ -1419,6 +1449,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_ann": q_lsh_ann,
     "ivf_ann": q_ivf_ann,
     "multimodal_features": q_multimodal_features,
+    "stream_windowed_rollup": q_stream_windowed_rollup,
 }
 
 ORACLES: dict[str, str] = {

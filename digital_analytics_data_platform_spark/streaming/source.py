@@ -10,6 +10,7 @@ end-to-end pipeline is exactly-once.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -81,5 +82,11 @@ def write_log_segments(
         seg = os.path.join(log_dir, f"segment_{uuid.uuid4().hex[:8]}_{i:05d}.parquet")
         shutil.move(part, seg)
         paths.append(seg)
+    # strictly increasing mtimes: FileStreamSource orders by modification
+    # time, and same-instant writes would make segment (≈ watermark
+    # advance) order nondeterministic
+    base_t = time.time() - len(paths)
+    for j, seg in enumerate(paths):
+        os.utime(seg, (base_t + j, base_t + j))
     shutil.rmtree(staging, ignore_errors=True)
     return paths

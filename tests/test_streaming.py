@@ -97,3 +97,53 @@ def test_stateful_conversation_progress(spark, tmp_path):
     assert len(merged) == len(exp)
     # state accumulated across the 4 single-file micro-batches
     assert (merged["n"] == merged["count"]).all()
+
+
+def test_streaming_watermark_window(spark, tmp_path):
+    """§2.9 watermark semantics, native: a tumbling event-time window
+    with withWatermark drops events later than the lateness bound from
+    the live aggregate (they still reach the tables via the MERGE
+    lookback path — the reference's 60d/7d re-MERGE discipline,
+    …01_merge_sdi_bronze_sa360_campaign_daily.sql:27)."""
+    import datetime as dt
+
+    from digital_analytics_data_platform_spark.streaming.source import cdc_schema
+    from digital_analytics_data_platform_spark.streaming.windows import (
+        run_windowed_rollup_to_memory,
+    )
+
+    base = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def ev(lsn, off_s, conv="c1"):
+        return ("U", conv, int(lsn), "user", "t", None, base + dt.timedelta(seconds=off_s), lsn, 0)
+
+    # Four segments → four micro-batches. The late event arrives TWO
+    # batches after the watermark-advancing events because Spark filters
+    # late input with the previous batch's watermark (eviction uses the
+    # current one).
+    rows = [ev(i, i) for i in range(5)]  # window [10:00,10:01): 5 events
+    rows += [ev(10, 600), ev(11, 601)]  # 10:10 → advances watermark past 10:01
+    rows += [ev(12, 602), ev(15, 630)]  # filler batch: filter-watermark catches up
+    rows += [ev(20, 40)]  # LATE for [10:00,10:01) — watermark ≈10:08 by now
+    df = spark.createDataFrame(rows, cdc_schema())
+    log_dir = str(tmp_path / "wmlog")
+    segs = write_log_segments(df, log_dir, n_segments=4)
+    assert len(segs) == 4
+
+    src = cdc_file_stream(spark, log_dir, max_files_per_trigger=1)
+    q = run_windowed_rollup_to_memory(
+        spark,
+        src,
+        checkpoint_dir=str(tmp_path / "wmckpt"),
+        window="1 minute",
+        lateness="2 minutes",
+        group_cols=("role",),
+    )
+    q.awaitTermination(180)
+    out = spark.table("windowed_rollup").collect()
+    w1 = [r for r in out if r["window_start"] == base]
+    # the closed window emitted exactly once, late event NOT counted
+    assert len(w1) == 1
+    assert w1[0]["n_events"] == 5 and w1[0]["role"] == "user"
+    # the 10:10 window never closed (watermark stops 2min behind max ts)
+    assert all(r["window_start"] == base for r in out)

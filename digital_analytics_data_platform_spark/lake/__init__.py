@@ -20,7 +20,14 @@ small lakehouse layer with the same guarantees the reference relies on
 """
 
 from .table import LakeTable, lww_collapse
-from .merge import merge_changes, compact, expire_tombstones, reconcile_backfill, MergeResult
+from .merge import (
+    merge_changes,
+    compact,
+    expire_tombstones,
+    reconcile_backfill,
+    replace_full,
+    MergeResult,
+)
 
 __all__ = [
     "LakeTable",
@@ -29,5 +36,6 @@ __all__ = [
     "compact",
     "expire_tombstones",
     "reconcile_backfill",
+    "replace_full",
     "MergeResult",
 ]

@@ -449,25 +449,118 @@ def _merge_mor(
     return res
 
 
-def compact(spark: SparkSession, table: LakeTable, *, write_salt: int = 1) -> int:
+def compact(
+    spark: SparkSession,
+    table: LakeTable,
+    *,
+    write_salt: int = 1,
+    all_buckets: bool = False,
+) -> int:
     """Fold merge-on-read delta files down: one LWW collapse per bucket,
-    rewrite the whole table as canonical files (tombstones retained —
-    they still guard against late resurrection until
-    :func:`expire_tombstones`). The background-maintenance half of the
-    MOR bargain; scheduling it per N batches bounds read amplification."""
+    rewrite as canonical files (tombstones retained — they still guard
+    against late resurrection until :func:`expire_tombstones`). The
+    background-maintenance half of the MOR bargain; scheduling it per N
+    batches bounds read amplification.
+
+    Scope is the buckets that actually carry deltas (the snapshot's
+    ``delta_buckets`` bookkeeping) — at 100 TB a compaction must not
+    rewrite the 90% of the table untouched since the last one.
+    ``all_buckets=True`` forces the full rewrite (defragmentation).
+    Returns rows written (0 = nothing to fold)."""
     snap = table.snapshot()
-    df = table.read(spark, include_deleted=True)  # collapse auto-applies
+    delta = snap.props.get("delta_buckets", {})
+    if all_buckets:
+        scope = list(range(snap.n_buckets))
+    else:
+        scope = sorted(int(b) for b in delta)
+        if not scope:
+            return 0
+    df = table.read(spark, buckets=scope, include_deleted=True)  # collapse auto-applies
     df = df.withColumn(
         "_bucket", F.pmod(F.xxhash64(F.col(snap.key_cols[0])), F.lit(snap.n_buckets)).cast("int")
     )
     _, new_files = table.write_data_files(df, write_salt=write_salt)
+    remaining = {} if all_buckets else {b: n for b, n in delta.items() if int(b) not in set(scope)}
+    table.commit(
+        new_files=new_files,
+        replaced_buckets=scope,
+        expected_version=snap.version,
+        props_update={"delta_buckets": remaining},
+    )
+    return sum(f["rows"] for f in new_files)
+
+
+def replace_full(
+    spark: SparkSession,
+    table: LakeTable,
+    df: DataFrame,
+    *,
+    batch_key: str | None = None,
+    write_salt: int = 1,
+) -> MergeResult:
+    """S5: CREATE-OR-REPLACE full rebuild — the source dataframe IS the
+    new table state, swapped in atomically as one snapshot (the
+    reference's procedures that rebuild a physical table from raw each
+    run, ``sql/19_SDI_PULSE_TMS_v2/01_BRONZE/02_sp_sdi_pulseTms_bronze_
+    adobeFunnel_weekly.sql:24-31``; ``sql/10_SDI_ADOBE_INTEGRATED/
+    01_SP_MERGE/01_sp_refresh_tsr_postpaid_daily_combined.sql:46-50``).
+
+    Readers at the previous snapshot version are unaffected (immutable
+    files + manifest chain = time travel across the rebuild). Collapses
+    the input by the table's LWW order first so a raw multi-version
+    feed is a valid source. Schema may gain columns (additive
+    evolution), same as MERGE."""
+    snap = table.snapshot()
+    key_cols, order_cols = snap.key_cols, snap.order_cols
+    ledger: dict[str, Any] = dict(snap.props.get(_LEDGER_KEY, {}))
+    if batch_key is not None and batch_key in ledger:
+        return MergeResult(version=snap.version, skipped=True)
+
+    table_fields = _business_fields(snap.schema())
+    table_names = [f.name for f in table_fields]
+    extra = [
+        df.schema[c]
+        for c in df.columns
+        if c not in table_names and c not in ("op", "commit_lsn")
+    ]
+    evolved_fields = table_fields + [T.StructField(f.name, f.dataType, True) for f in extra]
+    evolved_schema = T.StructType(
+        evolved_fields + [T.StructField(DELETED_COL, T.BooleanType(), False)]
+    )
+    staged = df
+    for f_ in evolved_fields:
+        if f_.name not in staged.columns:
+            staged = staged.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+    if "op" not in staged.columns:
+        staged = staged.withColumn("op", F.lit("U"))
+    body = staged.select(
+        *[f_.name for f_ in evolved_fields], (F.col("op") == "D").alias(DELETED_COL)
+    ).filter(F.col(key_cols[0]).isNotNull())
+    state = (
+        lww_collapse(body, key_cols, order_cols)
+        .filter(~F.col(DELETED_COL))
+        .withColumn(
+            "_bucket", F.pmod(F.xxhash64(F.col(key_cols[0])), F.lit(snap.n_buckets)).cast("int")
+        )
+    )
+    _, new_files = table.write_data_files(state, write_salt=write_salt)
     table.commit(
         new_files=new_files,
         replaced_buckets=range(snap.n_buckets),
         expected_version=snap.version,
-        props_update={"delta_buckets": {}},
+        schema=evolved_schema,
+        props_update={
+            _LEDGER_KEY: _trim_ledger(ledger, batch_key, 0, 0),
+            "delta_buckets": {},
+        },
+        lineage=[{"mode": "replace_full"}],
     )
-    return sum(f["rows"] for f in new_files)
+    return MergeResult(
+        version=snap.version + 1,
+        keys_written=sum(f["rows"] for f in new_files),
+        affected_buckets=sorted({f["bucket"] for f in new_files}),
+        strategy="replace_full",
+    )
 
 
 def _trim_ledger(ledger: dict, batch_key: str | None, fingerprint: int, max_commit: int) -> dict:

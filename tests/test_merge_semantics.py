@@ -207,3 +207,77 @@ def test_bucket_pruning_reads(spark, make_table):
     pruned = tbl.read(spark, buckets=[some_bucket])
     full = tbl.read(spark)
     assert 0 < pruned.count() < full.count() == 20
+
+
+def test_compact_scoped_to_delta_buckets(spark, make_table):
+    """Compaction rewrites ONLY buckets carrying MOR deltas; canonical
+    files of untouched buckets are carried by the manifest unchanged
+    (at 100 TB a compaction must not rewrite the cold 90%)."""
+    from digital_analytics_data_platform_spark.lake import compact, merge_changes
+    from tests.conftest import cdc_rows
+
+    tbl = make_table(n_buckets=8)
+    # seed many conversations via COW → canonical files in most buckets
+    seed = cdc_rows(
+        spark, [("I", f"c{i}", 0, "user", f"t{i}", None, 100 + i, i) for i in range(40)]
+    )
+    merge_changes(spark, tbl, seed, batch_key="seed", strategy="cow")
+    before = {f["path"]: f["bucket"] for f in tbl.snapshot().files}
+    # one MOR batch touching a single conversation → deltas in 1 bucket
+    one = cdc_rows(spark, [("U", "c0", 0, "user", "updated", None, 999, 1000)])
+    res = merge_changes(spark, tbl, one, batch_key="mor1", strategy="mor")
+    assert res.strategy == "mor" and len(res.affected_buckets) == 1
+    delta_bucket = res.affected_buckets[0]
+
+    rows = compact(spark, tbl)
+    assert rows > 0
+    snap = tbl.snapshot()
+    assert snap.props.get("delta_buckets") == {}
+    after = {f["path"]: f["bucket"] for f in snap.files}
+    # untouched buckets: identical file paths carried over
+    untouched_before = {p for p, b in before.items() if b != delta_bucket}
+    untouched_after = {p for p, b in after.items() if b != delta_bucket}
+    assert untouched_before == untouched_after
+    # the delta bucket was rewritten (no old path survives)
+    assert not any(b == delta_bucket for p, b in after.items() if p in before and before[p] == delta_bucket)
+    # state is correct post-compact
+    got = tbl.read(spark).filter("conv_id = 'c0'").collect()
+    assert len(got) == 1 and got[0]["text"] == "updated"
+    # compacting again with no deltas is a no-op
+    assert compact(spark, tbl) == 0
+
+
+def test_replace_full_rebuild(spark, make_table):
+    """S5 CREATE-OR-REPLACE: the feed becomes the whole table state in
+    one atomic snapshot; prior versions stay readable (time travel);
+    replay via batch_key is a no-op."""
+    from digital_analytics_data_platform_spark.lake import merge_changes, replace_full
+    from tests.conftest import cdc_rows
+
+    tbl = make_table()
+    merge_changes(
+        spark,
+        tbl,
+        cdc_rows(spark, [("I", "old", 0, "user", "old row", None, 10, 1)]),
+        batch_key="b0",
+    )
+    v_before = tbl.snapshot().version
+
+    feed = cdc_rows(
+        spark,
+        [
+            ("I", "new1", 0, "user", "a", None, 20, 10),
+            ("U", "new1", 0, "user", "a2", None, 30, 11),  # LWW collapses to this
+            ("I", "new2", 0, "user", "b", None, 25, 12),
+            ("D", "new3", 0, None, None, None, 26, 13),  # delete winner → absent
+        ],
+    )
+    res = replace_full(spark, tbl, feed, batch_key="rebuild:1")
+    assert res.strategy == "replace_full" and res.keys_written == 2
+    state = {r["conv_id"]: r["text"] for r in tbl.read(spark).collect()}
+    assert state == {"new1": "a2", "new2": "b"}  # old row gone, D absent
+    # time travel: previous snapshot still shows the old state
+    old = tbl.read(spark, snapshot_version=v_before).collect()
+    assert [r["conv_id"] for r in old] == ["old"]
+    # replay is a ledger no-op
+    assert replace_full(spark, tbl, feed, batch_key="rebuild:1").skipped

@@ -173,7 +173,19 @@ def main() -> None:
     strategy = os.environ.get("BENCH_STRATEGY", "mor")
     compact_every = int(os.environ.get("BENCH_COMPACT_EVERY", "0"))
 
-    spark = get_spark("dadp-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    # partition sizing matched to the bench batch scale (~0.4-8M events):
+    # the 128/64MB defaults leave a handful of map splits / AQE-coalesced
+    # reduce tasks, capping parallelism below the core count (see
+    # BASELINE.md "Scaling measurement config")
+    spark = get_spark(
+        "dadp-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(16 * 1024 * 1024),
+        },
+    )
     spark.range(1).count()  # JVM warmup tick
 
     from digital_analytics_data_platform_spark.queries import REGISTRY

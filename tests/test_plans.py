@@ -73,3 +73,35 @@ def test_quality_suite_detects_violations(spark, make_table):
 
     r = check_no_duplicate_grain(corrupted, ["conv_id", "turn_idx"], "bronze")
     assert r["status"] == "FAIL" and r["is_critical_failure"]
+
+
+def test_quality_freshness_and_long_reconcile(spark, make_table, tmp_path):
+    """Freshness gate (allowed-delay vs explicit as_of, ref
+    01_sp_bronze_campaign_daily_critical.sql:102-140) and long==wide
+    reconciliation (ref 09_sp_gold_campaign_long_bronze_reconciliation)."""
+    from datetime import timedelta
+
+    from digital_analytics_data_platform_spark.plans.quality import check_freshness
+    from digital_analytics_data_platform_spark.plans.transcripts import gold_long
+
+    bronze = _bronze(spark, make_table)
+    silver = build_silver(bronze)
+    daily = gold_daily_wide(silver)
+    weekly = gold_weekly_wide(daily)
+    max_ts = bronze.agg(F.max("ts")).collect()[0][0]
+
+    # fresh: as_of just after the newest event → PASS row present
+    results = run_quality_checks(
+        bronze, silver, daily, weekly,
+        gold_daily_long=gold_long(daily, ["day", "conv_id"]),
+        as_of=max_ts + timedelta(hours=1), max_delay_hours=24.0,
+    )
+    fr = [r for r in results if r["test_name"] == "freshness"]
+    assert len(fr) == 1 and fr[0]["status"] == "PASS"
+    lw = [r for r in results if r["test_name"].startswith("long_eq_wide_")]
+    assert lw and all(r["status"] == "PASS" for r in lw)
+    assert not [r for r in results if r["status"] == "FAIL"]
+
+    # stale: as_of far beyond the allowed delay → freshness FAILs
+    stale = check_freshness(bronze, "ts", max_ts + timedelta(days=30), 24.0, "bronze")
+    assert stale["status"] == "FAIL"

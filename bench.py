@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "text_exact_dedupe",
     "text_language_id",
     "text_quality_score",
+    "corpus_clean",
     "ann_brute_topk",
     "embedding_cosine_pairs",
     "minhash_near_dups",

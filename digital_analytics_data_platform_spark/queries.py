@@ -1347,6 +1347,60 @@ def q_ivf_ann(spark, sf_dir):
     return ivf_ann_topk(e, queries, centroids, k=5, nprobe=3)
 
 
+def q_corpus_clean(spark, sf_dir):
+    """Composed training-corpus cleaning pass — the batch filter a
+    pretraining pipeline runs before near-dup removal: language filter
+    (en) + composite quality threshold + exact dedupe on normalized
+    text (keep lowest doc_id). One scan feeds all three predicates;
+    the dedupe is a hash agg (min_by) — no window sort, skew-safe.
+    Near-dup removal continues via dedupe_minhash (approximate,
+    separately benched)."""
+    from .operators.text import language_id, normalize_text, quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    scored = quality_score(d.select("doc_id", "text")).select("doc_id", "q_score")
+    cand = (
+        d.select(
+            "doc_id",
+            language_id("text").alias("lang"),
+            normalize_text(F.col("text")).alias("norm"),
+        )
+        .join(scored, "doc_id")
+        .filter((F.col("lang") == "en") & (F.col("q_score") >= 0.5))
+    )
+    kept = cand.groupBy("norm").agg(
+        F.min_by(F.struct("doc_id", "lang", "q_score"), F.col("doc_id")).alias("_w")
+    )
+    return kept.select(
+        F.col("_w.doc_id").alias("doc_id"),
+        F.col("_w.lang").alias("lang"),
+        F.round("_w.q_score", 6).alias("q_score"),
+    )
+
+
+def _sql_corpus_clean() -> str:
+    lang_cte = _duck_lang_sql().strip().rstrip(";")
+    quality_body = SQL_QUALITY.strip()
+    return f"""
+WITH q AS ({quality_body}),
+l AS ({lang_cte}),
+norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text),
+             '[^\\p{{L}}0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+cand AS (
+  SELECT q.doc_id, l.lang_guess AS lang, q.q_score, norm.norm
+  FROM q JOIN l USING (doc_id) JOIN norm USING (doc_id)
+  WHERE l.lang_guess = 'en' AND q.q_score >= 0.5
+),
+kept AS (SELECT min(doc_id) AS doc_id FROM cand GROUP BY norm)
+SELECT c.doc_id, c.lang, round(c.q_score, 6) AS q_score
+FROM cand c JOIN kept USING (doc_id)
+"""
+
+
 def q_stream_windowed_rollup(spark, sf_dir):
     """§2.9 watermarked tumbling-window rollup, driven availableNow over
     parquet log segments (one per micro-batch) into a memory sink; the
@@ -1450,6 +1504,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_ann": q_ivf_ann,
     "multimodal_features": q_multimodal_features,
     "stream_windowed_rollup": q_stream_windowed_rollup,
+    "corpus_clean": q_corpus_clean,
 }
 
 ORACLES: dict[str, str] = {
@@ -1498,4 +1553,5 @@ ORACLES: dict[str, str] = {
     "embedding_cosine_pairs": SQL_EMB_PAIRS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "text_fingerprint_md5": SQL_FINGERPRINT_MD5,
+    "corpus_clean": _sql_corpus_clean(),
 }

@@ -636,70 +636,74 @@ def reconcile_backfill(
     feed = feed.select(*evolved_names, (F.col("op") == "D").alias(DELETED_COL))
     new_win = lww_collapse(feed, key_cols, order_cols)
     new_win.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # bucket scope: buckets holding corrected keys ∪ buckets with
+        # files intersecting the window (manifest min/max stats prune
+        # the rest)
+        key_buckets = {
+            int(r["_b"])
+            for r in new_win.select(
+                F.pmod(F.xxhash64(F.col(key_cols[0])), F.lit(snap.n_buckets)).cast("int").alias("_b")
+            )
+            .distinct()
+            .collect()
+        }
+        affected = sorted(key_buckets | window_file_buckets(snap, tcol, start, end))
+        if not affected:
+            res = _ledger_only_commit(table, snap.version, ledger, batch_key, 0, 0)
+            res.strategy = "reconcile"
+            return res
 
-    # bucket scope: buckets holding corrected keys ∪ buckets with files
-    # intersecting the window (manifest min/max ts stats prune the rest)
-    key_buckets = {
-        int(r["_b"])
-        for r in new_win.select(
-            F.pmod(F.xxhash64(F.col(key_cols[0])), F.lit(snap.n_buckets)).cast("int").alias("_b")
+        cur = table.read(spark, buckets=affected, include_deleted=True)
+        for c in evolved_names:
+            if c not in cur.columns:
+                cur = cur.withColumn(c, F.lit(None).cast(snap.schema()[c].dataType))
+        cur = cur.select(*evolved_names, DELETED_COL)
+        # window rows are superseded wholesale; corrected keys win anywhere
+        keep = cur.filter((F.col(tcol) < F.lit(start)) | (F.col(tcol) >= F.lit(end))).join(
+            new_win.select(*key_cols), key_cols, "left_anti"
         )
-        .distinct()
-        .collect()
-    }
-    iso_start, iso_end = _json_ts(start), _json_ts(end)
-    file_buckets = {
+        new_state = keep.unionByName(new_win).withColumn(
+            "_bucket", F.pmod(F.xxhash64(F.col(key_cols[0])), F.lit(snap.n_buckets)).cast("int")
+        )
+        _, new_files = table.write_data_files(new_state, write_salt=write_salt)
+        delta_buckets = dict(snap.props.get("delta_buckets", {}))
+        for b in affected:
+            delta_buckets.pop(str(b), None)
+        table.commit(
+            new_files=new_files,
+            replaced_buckets=affected,
+            expected_version=snap.version,
+            props_update={
+                _LEDGER_KEY: _trim_ledger(ledger, batch_key, 0, 0),
+                "delta_buckets": delta_buckets,
+            },
+            lineage=[{"mode": "reconcile", "window": [str(start), str(end)], "buckets": affected}],
+        )
+        return MergeResult(
+            version=snap.version + 1,
+            keys_written=sum(f["rows"] for f in new_files),
+            affected_buckets=affected,
+            strategy="reconcile",
+        )
+    finally:
+        new_win.unpersist()
+
+
+def window_file_buckets(snap, tcol: str, start, end) -> set:
+    """Buckets whose files may hold rows with ``tcol ∈ [start, end)``
+    per the manifest min/max stats (missing stats → can't prune).
+    Bounds are compared in the stats' own encoding: datetimes are
+    stored isoformat (string-comparable); numeric order columns stay
+    numeric — never stringify those, int < str raises in Python."""
+    lo = start.isoformat() if hasattr(start, "isoformat") else start
+    hi = end.isoformat() if hasattr(end, "isoformat") else end
+    return {
         f["bucket"]
         for f in snap.files
         if f.get(f"min_{tcol}") is None
-        or not (f[f"max_{tcol}"] < iso_start or f[f"min_{tcol}"] >= iso_end)
+        or not (f[f"max_{tcol}"] < lo or f[f"min_{tcol}"] >= hi)
     }
-    affected = sorted(key_buckets | file_buckets)
-    if not affected:
-        res = _ledger_only_commit(table, snap.version, ledger, batch_key, 0, 0)
-        res.strategy = "reconcile"
-        return res
-
-    cur = table.read(spark, buckets=affected, include_deleted=True)
-    for c in evolved_names:
-        if c not in cur.columns:
-            cur = cur.withColumn(c, F.lit(None).cast(snap.schema()[c].dataType))
-    cur = cur.select(*evolved_names, DELETED_COL)
-    # window rows are superseded wholesale; corrected keys win anywhere
-    keep = cur.filter((F.col(tcol) < F.lit(start)) | (F.col(tcol) >= F.lit(end))).join(
-        new_win.select(*key_cols), key_cols, "left_anti"
-    )
-    new_state = keep.unionByName(new_win).withColumn(
-        "_bucket", F.pmod(F.xxhash64(F.col(key_cols[0])), F.lit(snap.n_buckets)).cast("int")
-    )
-    _, new_files = table.write_data_files(new_state, write_salt=write_salt)
-    delta_buckets = dict(snap.props.get("delta_buckets", {}))
-    for b in affected:
-        delta_buckets.pop(str(b), None)
-    table.commit(
-        new_files=new_files,
-        replaced_buckets=affected,
-        expected_version=snap.version,
-        props_update={
-            _LEDGER_KEY: _trim_ledger(ledger, batch_key, 0, 0),
-            "delta_buckets": delta_buckets,
-        },
-        lineage=[{"mode": "reconcile", "window": [str(start), str(end)], "buckets": affected}],
-    )
-    res = MergeResult(
-        version=snap.version + 1,
-        keys_written=sum(f["rows"] for f in new_files),
-        affected_buckets=affected,
-        strategy="reconcile",
-    )
-    new_win.unpersist()
-    return res
-
-
-def _json_ts(v) -> str:
-    """Window bound → the manifest's isoformat stat encoding for
-    comparison against per-file min/max strings."""
-    return v.isoformat() if hasattr(v, "isoformat") else str(v)
 
 
 def expire_tombstones(spark: SparkSession, table: LakeTable, *, older_than_lsn: int) -> int:

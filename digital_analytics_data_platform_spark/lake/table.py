@@ -289,13 +289,15 @@ class LakeTable:
             .agg(*aggs)
             .collect()
         )
+        from urllib.parse import unquote, urlparse
+
         entries: list[dict[str, Any]] = []
         for r in rows:
             local = r["_fp"]
             if local.startswith("file:"):
-                local = local[len("file:"):]
-                while local.startswith("//"):
-                    local = local[1:]
+                # _metadata.file_path is a percent-encoded URI — decode,
+                # or a table path with a space bricks the manifest
+                local = unquote(urlparse(local).path)
             entry: dict[str, Any] = {
                 "path": os.path.relpath(local, self.path),
                 "bucket": int(r["_bk"]),

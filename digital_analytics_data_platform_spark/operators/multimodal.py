@@ -212,10 +212,14 @@ def extract_features(df: DataFrame, *, fake_decode: bool = True, batch_hint: int
                 ent.append(float(-(probs * np.log2(probs)).sum()))
                 if fake_decode:
                     feats.append([float(x) for x in decode_image(bytes(p), fake=True)])
-                elif kind == "audio":
-                    feats.append([float(x) for x in audio_features(decode_audio(bytes(p)))])
-                else:  # image (and video keyframes stored as stills)
-                    feats.append([float(x) for x in image_features(decode_image(bytes(p)))])
+                else:
+                    try:
+                        if kind == "audio":
+                            feats.append([float(x) for x in audio_features(decode_audio(bytes(p)))])
+                        else:  # image (and video keyframes stored as stills)
+                            feats.append([float(x) for x in image_features(decode_image(bytes(p)))])
+                    except Exception:
+                        feats.append(None)  # undecodable row → null feature, not a dead batch
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -251,7 +255,11 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
             for p in pdf["payload"]:
                 try:
                     out.append(encode_ppm(resize_image(decode_image(bytes(p)), out_w, out_h)))
-                except NotImplementedError:
+                except Exception:
+                    # unsupported codec OR malformed payload (bytes that
+                    # merely look like a magic number raise ValueError/
+                    # IndexError/struct.error from the decoders) — the
+                    # contract is row-level drop, never a dead batch
                     out.append(None)
             yield pd.DataFrame(
                 {

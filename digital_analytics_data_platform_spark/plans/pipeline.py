@@ -105,9 +105,13 @@ class MedallionPipeline:
             # Replay of an already-ledgered batch: Bronze is a no-op, but a
             # crash between the Bronze commit and the downstream merges
             # would otherwise leave Silver/Gold permanently missing this
-            # batch. Re-derive the bucket scope from the batch itself and
-            # keep going — each downstream layer's own ledger key makes
-            # already-completed merges no-ops.
+            # batch. Fast path: if every downstream ledger already holds
+            # this batch, the replay is FREE (the common at-least-once
+            # redelivery case) — only a genuine crash recovery pays the
+            # rebuild. Each downstream layer's own ledger key still makes
+            # already-completed merges no-ops during that rebuild.
+            if self._downstream_applied(batch_id):
+                return out
             snap = bronze_tbl.snapshot()
             affected = sorted(
                 r["_b"]
@@ -124,6 +128,21 @@ class MedallionPipeline:
             return out
         self._rebuild_downstream(spark, bronze_tbl, affected, batch_id, out)
         return out
+
+    def _downstream_applied(self, batch_id) -> bool:
+        """True iff every downstream layer's exactly-once ledger already
+        records this batch (driver-side JSON reads — no Spark jobs).
+        Conservative: a trimmed ledger entry or missing table reads as
+        not-applied, which only costs an idempotent rebuild."""
+        from ..lake.merge import _LEDGER_KEY
+
+        for layer in ("silver", "gold_daily", "gold_weekly", "gold_daily_long", "gold_weekly_long"):
+            if not LakeTable.exists(self._path(layer)):
+                return False
+            ledger = LakeTable.load(self._path(layer)).snapshot().props.get(_LEDGER_KEY, {})
+            if f"{layer}:{batch_id}" not in ledger:
+                return False
+        return True
 
     def _rebuild_downstream(
         self, spark: SparkSession, bronze_tbl: LakeTable, affected: list[int],
@@ -154,6 +173,7 @@ class MedallionPipeline:
     def _rebuild_gold(
         self, spark: SparkSession, bronze_tbl: LakeTable, silver_tbl: LakeTable,
         touched_all: DataFrame, batch_id, out: MedallionResult,
+        extra_conv_keys: DataFrame | None = None,
     ) -> None:
         # ---- Gold: recompute touched conversations from Silver ----------
         # `_order` is the apply sequence (Bronze snapshot version), NOT
@@ -167,6 +187,12 @@ class MedallionPipeline:
         # at 100M-event batches. AQE picks broadcast when it's actually
         # small.
         conv_keys = touched_all.select("conv_id").distinct()
+        if extra_conv_keys is not None:
+            # reconcile passes the PRE-replace window conversations here:
+            # a conversation the correction removed entirely no longer
+            # appears in any post-replace bronze read, but its gold rows
+            # must still be scope-deleted
+            conv_keys = conv_keys.unionByName(extra_conv_keys).distinct()
         silver_state = silver_tbl.read(spark).join(conv_keys, "conv_id", "left_semi")
         daily = gold_daily_wide(silver_state).withColumn("_order", F.lit(apply_seq).cast("long"))
         gold_d_tbl = self._ensure("gold_daily", daily, ["day", "conv_id"], ["_order"])
@@ -206,32 +232,76 @@ class MedallionPipeline:
                 out_dir=os.path.join(self.base_dir, "qa"),
             )
 
-    def reconcile_backfill(self, spark: SparkSession, corrected: DataFrame, start, end) -> MedallionResult:
+    def reconcile_backfill(
+        self,
+        spark: SparkSession,
+        corrected: DataFrame,
+        start,
+        end,
+        *,
+        batch_key: str | None = None,
+    ) -> MedallionResult:
         """S7: replay a corrected feed for ``ts ∈ [start, end)`` through
         the whole medallion. Bronze AND Silver windows are physically
         replaced (:func:`…lake.merge.reconcile_backfill`) — corrections
         may carry *older* ts than the wrong rows they supersede, so the
         LWW merge must not arbitrate them — then Gold rebuilds via the
         normal monotone apply-sequence recompute for exactly the touched
-        buckets."""
-        from ..lake.merge import reconcile_backfill as lake_reconcile
+        buckets.
+
+        ``batch_key`` defaults to the window, which makes a *replay of
+        the same correction* a no-op; a SECOND, different correction for
+        the same window must pass its own key (e.g. a feed revision id)
+        or it would be silently ledger-skipped.
+        """
+        from ..lake.merge import reconcile_backfill as lake_reconcile, window_file_buckets
         from ..lake.table import DELETED_COL
 
         bronze_tbl = LakeTable.load(self._path("bronze"))
-        batch_id = f"reconcile:{start}:{end}"
+        batch_id = batch_key or f"reconcile:{start}:{end}"
+        in_window = (F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end))
+        # PRE-replace window conversations, captured against the current
+        # snapshot's (immutable) file list BEFORE the replace commits:
+        # conversations the correction removes entirely vanish from every
+        # post-replace read, yet their gold rows must be scope-deleted.
+        pre_convs = (
+            bronze_tbl.read(spark, include_deleted=True)
+            .filter(in_window)
+            .select("conv_id")
+            .distinct()
+        )
+        pre_convs.persist()
+        pre_convs.count()  # materialize against the pre-replace snapshot
         res_b = lake_reconcile(
             spark, bronze_tbl, corrected, start, end, batch_key=f"bronze:{batch_id}"
         )
         out = MedallionResult(bronze=res_b)
-        affected = res_b.affected_buckets
+        if res_b.skipped:
+            # Bronze already ledgered (crash between bronze and the
+            # downstream reconciles, or a same-key replay): re-derive the
+            # bucket scope and keep going — the silver reconcile and gold
+            # merges are no-ops where they already committed.
+            snap = bronze_tbl.snapshot()
+            key_buckets = {
+                int(r["_b"])
+                for r in corrected.filter(F.col("conv_id").isNotNull())
+                .select(
+                    F.pmod(F.xxhash64("conv_id"), F.lit(snap.n_buckets)).cast("int").alias("_b")
+                )
+                .distinct()
+                .collect()
+            }
+            affected = sorted(key_buckets | window_file_buckets(snap, "ts", start, end))
+        else:
+            affected = res_b.affected_buckets
         if not affected:
+            pre_convs.unpersist()
             return out
 
         # Silver window-replace: feed = enriched bronze window rows plus
         # tombstones for keys the correction deleted (their D winners
         # survive in bronze as in-window tombstones).
         touched_all = bronze_tbl.read(spark, buckets=affected, include_deleted=True)
-        in_window = (F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end))
         live = touched_all.filter(in_window & ~F.col(DELETED_COL)).drop(DELETED_COL)
         silver_feed = build_silver(live, self.conv_dim).withColumn("op", F.lit("U"))
         dead = (
@@ -247,7 +317,11 @@ class MedallionPipeline:
             spark, silver_tbl, silver_feed.unionByName(dead.select(*silver_feed.columns)),
             start, end, batch_key=f"silver:{batch_id}",
         )
-        self._rebuild_gold(spark, bronze_tbl, silver_tbl, touched_all, batch_id, out)
+        self._rebuild_gold(
+            spark, bronze_tbl, silver_tbl, touched_all, batch_id, out,
+            extra_conv_keys=pre_convs,
+        )
+        pre_convs.unpersist()
         return out
 
     def register_views(self, spark: SparkSession, prefix: str = "vw_") -> list[str]:

@@ -213,11 +213,19 @@ def run_quality_checks(
             _row("gold", f"weekly_eq_sum_daily_{m}", "HIGH", d_v, w_v, abs(d_v - w_v) <= TOLERANCE)
         )
 
-    # ---- gold long: reconcile long == wide per metric ---------------------
+    # ---- gold long: reconcile long == wide per metric. The wide-side
+    # sums were already computed in the gd aggregation above — only the
+    # LONG side is scanned here (one agg), keeping the one-scan-per-layer
+    # contract instead of re-aggregating gold_daily.
     if gold_daily_long is not None:
-        results.extend(
-            check_long_eq_wide(gold_daily, gold_daily_long, ["n_turns", "total_tokens"], "gold")
-        )
+        l = gold_daily_long.groupBy("metric_name").agg(F.sum("metric_value").alias("v")).collect()
+        lmap = {r["metric_name"]: r["v"] or 0.0 for r in l}
+        for m, key in (("n_turns", "_sum_turns"), ("total_tokens", "_sum_tokens")):
+            exp = float(gd[key] or 0.0)
+            act = float(lmap.get(m, 0.0))
+            results.append(
+                _row("gold", f"long_eq_wide_{m}", "HIGH", exp, act, abs(exp - act) <= TOLERANCE)
+            )
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         with open(os.path.join(out_dir, f"qa_{int(time.time()*1000)}.json"), "w") as f:

@@ -1358,14 +1358,16 @@ def q_corpus_clean(spark, sf_dir):
     from .operators.text import language_id, normalize_text, quality_score
 
     d = _t(spark, sf_dir, "documents")
-    scored = quality_score(d.select("doc_id", "text")).select("doc_id", "q_score")
+    # quality_score preserves input columns, so lang/norm ride the same
+    # projection — genuinely one scan, no self-join
     cand = (
-        d.select(
+        quality_score(d.select("doc_id", "text"))
+        .select(
             "doc_id",
             language_id("text").alias("lang"),
             normalize_text(F.col("text")).alias("norm"),
+            "q_score",
         )
-        .join(scored, "doc_id")
         .filter((F.col("lang") == "en") & (F.col("q_score") >= 0.5))
     )
     kept = cand.groupBy("norm").agg(

@@ -281,3 +281,22 @@ def test_replace_full_rebuild(spark, make_table):
     assert [r["conv_id"] for r in old] == ["old"]
     # replay is a ledger no-op
     assert replace_full(spark, tbl, feed, batch_key="rebuild:1").skipped
+
+
+def test_table_path_with_space(spark, tmp_path):
+    """Code-review regression: executor-side stats must decode the
+    percent-encoded _metadata.file_path URI — a table under a directory
+    with a space previously committed 'my%20lake' paths and bricked
+    every subsequent read."""
+    from digital_analytics_data_platform_spark.lake import LakeTable, merge_changes
+    from tests.conftest import TRANSCRIPT_SCHEMA, cdc_rows
+
+    path = str(tmp_path / "my lake" / "bronze")
+    tbl = LakeTable.create(path, TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], ["ts", "lsn"], n_buckets=4)
+    merge_changes(
+        spark, tbl, cdc_rows(spark, [("I", "c1", 0, "user", "hello", None, 10, 1)]), batch_key="b0"
+    )
+    rel = tbl.snapshot().files[0]["path"]
+    # un-decoded URI would relpath into '../..%20..' garbage
+    assert "%20" not in rel and not rel.startswith(".."), rel
+    assert tbl.read(spark).count() == 1

@@ -564,11 +564,18 @@ def replace_full(
 
 
 def _trim_ledger(ledger: dict, batch_key: str | None, fingerprint: int, max_commit: int) -> dict:
+    """Evict OLDEST-INSERTED entries past ``_LEDGER_MAX``. The dict is
+    insertion-ordered (and JSON round-trips preserve it), so the front
+    of the dict is the oldest batch. Lexicographic eviction would drop
+    ``bronze:10`` before ``bronze:9`` — the most recent batches, exactly
+    the ones most likely to be replayed — silently re-opening the
+    exactly-once window."""
     if batch_key is not None:
+        # a replayed key moves to the back (most-recently-seen)
+        ledger.pop(batch_key, None)
         ledger[batch_key] = {"fp": fingerprint, "max_commit_lsn": max_commit}
-        if len(ledger) > _LEDGER_MAX:
-            for k in sorted(ledger)[: len(ledger) - _LEDGER_MAX]:
-                del ledger[k]
+        while len(ledger) > _LEDGER_MAX:
+            del ledger[next(iter(ledger))]
     return ledger
 
 

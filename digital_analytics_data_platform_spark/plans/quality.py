@@ -30,14 +30,20 @@ from pyspark.sql import functions as F
 TOLERANCE = 1e-6
 
 
-def _row(layer: str, name: str, severity: str, expected: float, actual: float, passed: bool) -> dict:
+def _row(
+    layer: str, name: str, severity: str, expected: float, actual: float | None, passed: bool
+) -> dict:
+    """``actual=None`` means "unmeasurable" (e.g. freshness of an empty
+    layer) — kept as a JSON null, never ``float('inf')``: json.dump
+    would emit bare ``Infinity``, which is not valid JSON and breaks any
+    strict consumer of the persisted QA sink."""
     return {
         "test_layer": layer,
         "test_name": name,
         "severity": severity,
         "expected_value": float(expected),
-        "actual_value": float(actual),
-        "variance_value": float(actual - expected),
+        "actual_value": None if actual is None else float(actual),
+        "variance_value": None if actual is None else float(actual - expected),
         "status": "PASS" if passed else "FAIL",
         "is_critical_failure": (not passed) and severity == "HIGH",
     }
@@ -93,7 +99,7 @@ def check_freshness(df: DataFrame, ts_col: str, as_of, max_delay_hours: float, l
     so replays stay deterministic."""
     mx = df.agg(F.max(ts_col).alias("mx")).collect()[0]["mx"]
     if mx is None:
-        return _row(layer, "freshness", "HIGH", max_delay_hours, float("inf"), False)
+        return _row(layer, "freshness", "HIGH", max_delay_hours, None, False)
     delay_h = (as_of - mx).total_seconds() / 3600.0
     return _row(layer, "freshness", "HIGH", max_delay_hours, delay_h, delay_h <= max_delay_hours)
 
@@ -176,7 +182,7 @@ def run_quality_checks(
         results.append(_row("bronze", "future_timestamps", "MEDIUM", 0, fut, fut == 0))
     if as_of is not None:
         if b["_max_ts"] is None:
-            results.append(_row("bronze", "freshness", "HIGH", max_delay_hours, float("inf"), False))
+            results.append(_row("bronze", "freshness", "HIGH", max_delay_hours, None, False))
         else:
             delay_h = (as_of - b["_max_ts"]).total_seconds() / 3600.0
             results.append(

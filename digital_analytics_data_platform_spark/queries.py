@@ -611,16 +611,18 @@ SELECT l_orderkey, 'tax', round(sum(l_tax), 4) FROM lineitem GROUP BY 1
 # T10/J8 — generated date spine broadcast-joined to facts
 # ref: sql/01_common/01_vw_qgp_calendar.sql:10-13; sql/19_…/02_SILVER/04_…:39-42
 def q_t10_date_spine(spark, sf_dir):
-    from .operators.reshape import date_spine
+    from .operators.reshape import date_spine_from_bounds
 
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
         F.count(F.lit(1)).alias("n_events")
     )
+    # bounds stay plan-side (a 1-row frame the spine explodes from) —
+    # no driver collect(), so the whole query is ONE Spark plan
     bounds = ev.agg(
         F.min(F.col("ts").cast("date")).alias("lo"), F.max(F.col("ts").cast("date")).alias("hi")
-    ).collect()[0]
-    spine = date_spine(spark, str(bounds["lo"]), str(bounds["hi"]))
+    )
+    spine = date_spine_from_bounds(bounds)
     return (
         F.broadcast(spine)
         .join(daily, "d", "left")
@@ -724,11 +726,14 @@ def q_p11_math_scalars(spark, sf_dir):
         "l_orderkey",
         F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
         F.round(F.abs(F.col("l_discount") - F.lit(0.05)), 6).alias("abs_disc"),
-        F.ceil("l_extendedprice").alias("ceil_price"),
-        F.floor("l_extendedprice").alias("floor_price"),
+        # DuckDB ceil/floor yield DOUBLE and sign() yields TINYINT;
+        # Spark's BIGINT/DOUBLE would canonicalize differently (43684
+        # vs 43684.0) despite identical numerics — align types here.
+        F.ceil("l_extendedprice").cast("double").alias("ceil_price"),
+        F.floor("l_extendedprice").cast("double").alias("floor_price"),
         F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
         F.round(F.pow("l_quantity", F.lit(2.0)), 4).alias("qty_sq"),
-        F.signum(F.col("l_discount") - F.col("l_tax")).alias("sign_dt"),
+        F.signum(F.col("l_discount") - F.col("l_tax")).cast("int").alias("sign_dt"),
         F.greatest("l_discount", "l_tax").alias("max_rate"),
         F.least("l_discount", "l_tax").alias("min_rate"),
         F.pmod(F.col("l_orderkey"), F.lit(7)).alias("mod7"),
@@ -743,7 +748,7 @@ SELECT l_orderkey,
        floor(l_extendedprice) AS floor_price,
        round(ln(l_extendedprice), 6) AS ln_price,
        round(power(l_quantity, 2.0), 4) AS qty_sq,
-       sign(l_discount - l_tax) AS sign_dt,
+       sign(l_discount - l_tax)::INTEGER AS sign_dt,
        greatest(l_discount, l_tax) AS max_rate,
        least(l_discount, l_tax) AS min_rate,
        l_orderkey % 7 AS mod7
@@ -1416,9 +1421,14 @@ def q_stream_windowed_rollup(spark, sf_dir):
     from .streaming.source import cdc_file_stream, write_log_segments
     from .streaming.windows import run_windowed_rollup_to_memory
 
-    log = datagen.change_log(spark, 20_000, n_convs=50, turns_per_conv=10)
+    # 6k events / 2 segments: this entry proves EMISSION SEMANTICS
+    # (watermark closes windows, late data drops), not throughput — small
+    # input keeps it inside the driver harness's time budget (it had no
+    # CORRECTNESS row in r2 because the harness ran out of budget on the
+    # registry tail).
+    log = datagen.change_log(spark, 6_000, n_convs=30, turns_per_conv=10)
     tmp = tempfile.mkdtemp(prefix="wmroll_")
-    write_log_segments(log, f"{tmp}/log", n_segments=4)
+    write_log_segments(log, f"{tmp}/log", n_segments=2)
     src = cdc_file_stream(spark, f"{tmp}/log", max_files_per_trigger=1)
     q = run_windowed_rollup_to_memory(
         spark,
@@ -1429,7 +1439,11 @@ def q_stream_windowed_rollup(spark, sf_dir):
         lateness="30 seconds",
         group_cols=("role",),
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # a stalled stream must fail loudly, not return a truncated
+        # memory table that would be scored as if complete
+        q.stop()
+        raise TimeoutError("q_stream_windowed_rollup did not finish within 300s")
     return spark.table("q_stream_windowed_rollup")
 
 
@@ -1490,6 +1504,14 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "yoy_weekly": q_yoy_weekly,
     "gold_weekly_long": q_gold_weekly_long,
     "gold_daily_long": q_gold_daily_long,
+    # The four entries below ran LAST in rounds 1-2 and never got a
+    # CORRECTNESS row (the driver harness exhausted its budget on the
+    # registry tail) — they now run BEFORE the heavy approximate-dedup
+    # sweep so their rows always materialize.
+    "corpus_clean": q_corpus_clean,
+    "multimodal_features": q_multimodal_features,
+    "stream_windowed_rollup": q_stream_windowed_rollup,
+    "ivf_ann": q_ivf_ann,
     "text_language_id": q_text_language_id,
     "text_token_count": q_text_token_count,
     "text_exact_dedupe": q_text_exact_dedupe,
@@ -1503,10 +1525,6 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dups": q_simhash_near_dups,
     "ngram_jaccard": q_ngram_jaccard,
     "lsh_ann": q_lsh_ann,
-    "ivf_ann": q_ivf_ann,
-    "multimodal_features": q_multimodal_features,
-    "stream_windowed_rollup": q_stream_windowed_rollup,
-    "corpus_clean": q_corpus_clean,
 }
 
 ORACLES: dict[str, str] = {

@@ -300,3 +300,41 @@ def test_table_path_with_space(spark, tmp_path):
     # un-decoded URI would relpath into '../..%20..' garbage
     assert "%20" not in rel and not rel.startswith(".."), rel
     assert tbl.read(spark).count() == 1
+
+
+def test_ledger_trim_evicts_oldest_inserted(spark, make_table, monkeypatch):
+    """Round-2 defect: the trim sorted keys lexicographically, so
+    'bronze:10' was evicted before 'bronze:9' — the MOST RECENT batches
+    lost their exactly-once guard. Eviction must be oldest-inserted."""
+    from digital_analytics_data_platform_spark.lake import merge as merge_mod
+
+    monkeypatch.setattr(merge_mod, "_LEDGER_MAX", 4)
+    tbl = make_table()
+    for i in range(12):
+        merge_changes(
+            spark, tbl,
+            cdc_rows(spark, [("I", f"c{i}", 0, "user", f"t{i}", None, 10 + i, i + 1)]),
+            batch_key=f"bronze:{i}",
+        )
+    ledger = tbl.snapshot().props[merge_mod._LEDGER_KEY]
+    # most recent 4 retained — under lexicographic eviction bronze:9
+    # would be gone while bronze:2 survived
+    assert list(ledger) == ["bronze:8", "bronze:9", "bronze:10", "bronze:11"]
+    # a replay of a retained batch is still a no-op
+    assert merge_changes(
+        spark, tbl,
+        cdc_rows(spark, [("I", "c11", 0, "user", "t11", None, 21, 12)]),
+        batch_key="bronze:11",
+    ).skipped
+
+
+def test_ledger_trim_replayed_key_moves_to_back(monkeypatch):
+    from digital_analytics_data_platform_spark.lake import merge as merge_mod
+
+    monkeypatch.setattr(merge_mod, "_LEDGER_MAX", 3)
+    ledger = {}
+    for k in ("a", "b", "c"):
+        merge_mod._trim_ledger(ledger, k, 0, 0)
+    merge_mod._trim_ledger(ledger, "a", 0, 0)  # replay: now most recent
+    merge_mod._trim_ledger(ledger, "d", 0, 0)  # evicts b (oldest), not a
+    assert list(ledger) == ["c", "a", "d"]

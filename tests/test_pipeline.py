@@ -271,3 +271,79 @@ def test_reconcile_crash_recovery_and_new_batch_key(spark, tmp_path):
     assert not r2.bronze.skipped
     assert p.read(spark, "bronze").filter("conv_id = 'c1'").first()["text"] == "righter"
     assert p.read(spark, "silver").filter("conv_id = 'c1'").first()["text"] == "righter"
+
+
+def test_gold_rebuild_silver_read_is_bucket_pruned(spark, tmp_path, monkeypatch):
+    """The silver read feeding the gold rebuild must prune to the
+    touched buckets (silver shares Bronze's conv_id bucket layout) —
+    a full-silver scan per batch is O(table) work for O(batch) input."""
+    from digital_analytics_data_platform_spark.lake.table import LakeTable
+
+    p = _pipe(tmp_path)
+    # batch 1: many conversations spread over the 8 buckets
+    rows = [("I", f"conv{i}", 0, "user", f"t{i}", None, 10 + i, i + 1) for i in range(40)]
+    p.apply_batch(spark, cdc_rows(spark, rows), 0)
+
+    reads = []
+    orig_read = LakeTable.read
+
+    def recording_read(self, spark_, **kw):
+        reads.append((self.path, kw.get("buckets")))
+        return orig_read(self, spark_, **kw)
+
+    monkeypatch.setattr(LakeTable, "read", recording_read)
+    # batch 2 touches ONE conversation → one bucket
+    r = p.apply_batch(
+        spark, cdc_rows(spark, [("U", "conv0", 0, "user", "t0b", None, 99, 100)]), 1
+    )
+    assert len(r.bronze.affected_buckets) == 1
+    silver_path = str(tmp_path / "medallion" / "silver")
+    silver_reads = [b for path, b in reads if path == silver_path]
+    assert silver_reads, "silver never read during rebuild"
+    for buckets in silver_reads:
+        assert buckets is not None, "full-silver scan in the per-batch rebuild"
+        assert sorted(buckets) == r.bronze.affected_buckets
+
+
+def test_qa_results_table_and_view(spark, tmp_path):
+    """QA rows are a queryable product (the reference's *_test_results
+    table + dashboard view), not loose JSON."""
+    p = MedallionPipeline(str(tmp_path / "medallion"), n_buckets=8, run_qa=True)
+    p.create_tables(TRANSCRIPT_SCHEMA)
+    log = datagen.change_log(spark, 500, n_convs=10, turns_per_conv=5)
+    p.apply_batch(spark, log, 0)
+    qa = p.read(spark, "qa_results")
+    rows = qa.collect()
+    assert rows and all(r["status"] == "PASS" for r in rows), [
+        (r["test_name"], r["status"]) for r in rows if r["status"] != "PASS"
+    ]
+    assert {"run_id", "test_layer", "test_name", "severity", "status"} <= set(qa.columns)
+    views = p.register_views(spark)
+    assert "vw_qa_results" in views
+    n = spark.sql(
+        "SELECT count(*) AS n FROM vw_qa_results WHERE is_critical_failure"
+    ).first()["n"]
+    assert n == 0
+    # replaying the batch must not duplicate QA rows (ledger-keyed merge)
+    before = qa.count()
+    p.apply_batch(spark, log, 0)
+    assert p.read(spark, "qa_results").count() == before
+
+
+def test_run_full_audit(spark, tmp_path):
+    """The unscoped audit is a separate scheduled entry point; it passes
+    after incremental batches (catches any scoping bug in per-batch QA)
+    and lands in qa_results under a full_audit run id."""
+    p = MedallionPipeline(str(tmp_path / "medallion"), n_buckets=8, run_qa=True)
+    p.create_tables(TRANSCRIPT_SCHEMA)
+    n = 2_000
+    log = datagen.change_log(spark, n, n_convs=20, turns_per_conv=8)
+    for i in range(2):
+        lo, hi = i * n // 2, (i + 1) * n // 2
+        p.apply_batch(spark, log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi)), i)
+    results = p.run_full_audit(spark)
+    assert results and all(r["status"] == "PASS" for r in results), [
+        (r["test_name"], r["status"]) for r in results if r["status"] != "PASS"
+    ]
+    audits = p.read(spark, "qa_results").filter("run_id LIKE 'full_audit:%'")
+    assert audits.count() == len(results)

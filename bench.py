@@ -67,6 +67,54 @@ def _steal_seconds() -> float:
         return 0.0
 
 
+# Steal-validity bound for the apply measurement (BASELINE.md protocol:
+# a batch window with > this much hypervisor steal is not a valid
+# throughput sample).
+STEAL_VALID_CPU_S = 5.0
+
+
+def _spin(stop_at: float) -> None:
+    x = 0
+    while time.monotonic() < stop_at:
+        x += 1  # busy loop — makes this vCPU runnable so host steal accrues
+
+
+def wait_calm_window(max_wait_s: float, probe_s: float = 5.0, n_spin: int = 8) -> dict:
+    """Block until a CPU-spin probe window shows hypervisor steal below
+    the validity bound (the BASELINE.md spin-probe protocol, automated
+    so driver-run benches land in a calm window), up to ``max_wait_s``.
+    Steal only accrues while vCPUs are runnable, so the probe must SPIN
+    (``n_spin`` processes — GIL rules out threads), not sleep.
+    Returns {calm_wait_s, probe_steal_cpu_s, calm} for the bench JSON."""
+    import multiprocessing as mp
+
+    t0 = time.monotonic()
+    steal = 0.0
+    ctx = mp.get_context("fork")
+    while True:
+        s0 = _steal_seconds()
+        stop_at = time.monotonic() + probe_s
+        procs = [ctx.Process(target=_spin, args=(stop_at,), daemon=True) for _ in range(n_spin)]
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join()
+        steal = _steal_seconds() - s0
+        if steal < STEAL_VALID_CPU_S * probe_s / 10.0:  # scale the 5 cpu-s/10 s bound
+            return {
+                "calm_wait_s": round(time.monotonic() - t0, 1),
+                "probe_steal_cpu_s": round(steal, 1),
+                "calm": True,
+            }
+        if time.monotonic() - t0 >= max_wait_s:
+            return {
+                "calm_wait_s": round(time.monotonic() - t0, 1),
+                "probe_steal_cpu_s": round(steal, 1),
+                "calm": False,
+            }
+        time.sleep(min(10.0, max(0.0, max_wait_s - (time.monotonic() - t0))))
+
+
 def run_apply_bench(
     spark,
     n_events: int,
@@ -137,8 +185,13 @@ def run_apply_bench(
         if compact_every and (i + 1) % compact_every == 0:
             compact_fn(spark, tbl)
     t0 = time.monotonic()
+    s0 = _steal_seconds()
     final_rows = compact_fn(spark, tbl) if strategy == "mor" else tbl.total_rows()
     compact_wall = time.monotonic() - t0
+    compact_steal = _steal_seconds() - s0
+    # write-job vs stats-job split of the compact (bisects a slow
+    # compact into collapse+write vs manifest-stats phases)
+    compact_walls = dict(getattr(tbl, "last_write_walls", {}) or {})
     shutil.rmtree(tmp, ignore_errors=True)
     steady = batch_walls[1:] if len(batch_walls) > 1 else batch_walls
     steady_events = n_events - n_events // n_batches if len(batch_walls) > 1 else n_events
@@ -156,7 +209,10 @@ def run_apply_bench(
         "apply_batches": n_batches,
         "apply_final_rows": final_rows,
         "apply_wall_s": round(sum(batch_walls), 3),
+        "apply_steal_valid": max(batch_steals) <= STEAL_VALID_CPU_S,
         "apply_compact_wall_s": round(compact_wall, 3),
+        "apply_compact_steal_cpu_s": round(compact_steal, 1),
+        "apply_compact_phase_walls_s": compact_walls,
         "apply_batch_walls_s": [round(w, 3) for w in batch_walls],
         "apply_events_per_sec_steady": round(steady_events / sum(steady), 1),
         "apply_events_per_sec_median": round(per_batch_events / med, 1),
@@ -191,9 +247,30 @@ def main() -> None:
 
     from digital_analytics_data_platform_spark.queries import REGISTRY
 
-    apply_stats = run_apply_bench(
-        spark, n_events, n_batches, n_buckets, strategy=strategy, compact_every=compact_every
-    )
+    # BASELINE.md spin-probe protocol, automated: wait (bounded) for a
+    # hypervisor-calm window so the apply measurement is steal-valid,
+    # then retry once if a steal burst lands mid-apply anyway. Keeps the
+    # attempt with the lowest worst-batch steal; all attempts' steal
+    # columns are published either way.
+    calm_max = float(os.environ.get("BENCH_CALM_MAX_WAIT_S", "300"))
+    calm = wait_calm_window(calm_max) if calm_max > 0 else {"calm": None}
+    attempts = []
+    max_attempts = int(os.environ.get("BENCH_APPLY_ATTEMPTS", "2"))
+    for _ in range(max_attempts):
+        apply_stats = run_apply_bench(
+            spark, n_events, n_batches, n_buckets, strategy=strategy, compact_every=compact_every
+        )
+        attempts.append(apply_stats)
+        if apply_stats["apply_steal_valid"]:
+            break
+        if len(attempts) < max_attempts:
+            calm = wait_calm_window(calm_max) if calm_max > 0 else calm
+    apply_stats = min(attempts, key=lambda a: max(a["apply_batch_steal_cpu_s"]))
+    apply_stats["apply_attempts"] = len(attempts)
+    apply_stats["apply_attempt_max_steal_cpu_s"] = [
+        round(max(a["apply_batch_steal_cpu_s"]), 1) for a in attempts
+    ]
+    apply_stats.update({f"calm_{k}" if not k.startswith("calm") else k: v for k, v in calm.items()})
 
     # per-query wall AND hypervisor steal (this VM loses CPU to the host
     # in multi-minute bursts — r1's published minhash number was ~16×

@@ -1447,6 +1447,69 @@ def q_stream_windowed_rollup(spark, sf_dir):
     return spark.table("q_stream_windowed_rollup")
 
 
+def q_stream_events_rollup(spark, sf_dir):
+    """§2.9 watermarked tumbling-window rollup WITH a batch-SQL oracle:
+    streams the shared ``events`` table (file source, availableNow) into
+    1-hour windows grouped by event_type, emitting watermark-CLOSED
+    windows only. Deterministic because the whole table arrives in one
+    micro-batch (no mid-stream watermark, so nothing is dropped as late)
+    and the final no-data batch closes every window whose end ≤
+    max(ts) − 45 min — which is exactly batch-SQL-expressible, unlike
+    the multi-segment emission-semantics entry above. Integer checksum
+    agg (no float fuzz in the hash compare).
+
+    Reference analog: the live intraday rollups the scheduled MERGE
+    marts cannot serve (bounded-lookback re-MERGE per
+    ``sql/02_SDI_SA360/01_BRONZE/MERGE/01_merge_sdi_bronze_sa360_
+    campaign_daily.sql:27``)."""
+    import tempfile
+
+    from .streaming.windows import run_windowed_rollup_to_memory
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # parquet ts arrives TIMESTAMP_NTZ; watermarks require TIMESTAMP
+    # (session tz is pinned UTC, so the cast is value-identity)
+    # the file-stream source wants a directory/glob, not a bare file
+    src = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf_dir}/events.parque[t]")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    tmp = tempfile.mkdtemp(prefix="evroll_")
+    q = run_windowed_rollup_to_memory(
+        spark,
+        src,
+        query_name="q_stream_events_rollup",
+        checkpoint_dir=f"{tmp}/ckpt",
+        ts_col="ts",
+        window="1 hour",
+        lateness="45 minutes",
+        group_cols=("event_type",),
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "checksum": F.sum(F.pmod(F.col("event_id"), F.lit(97))),
+        },
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q_stream_events_rollup did not finish within 300s")
+    return spark.table("q_stream_events_rollup")
+
+
+SQL_STREAM_EVENTS_ROLLUP = """
+WITH wm AS (SELECT max(ts) - INTERVAL 45 MINUTE AS w FROM events)
+SELECT
+  time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+  time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+  event_type,
+  count(*) AS n_events,
+  sum(event_id % 97) AS checksum
+FROM events
+GROUP BY 1, 2, 3
+HAVING window_end <= (SELECT w FROM wm)
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     """No SQL oracle (mapInPandas feature extraction); deterministic
     fake-decode covered by tests. Scalar columns only — the feature
@@ -1511,6 +1574,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_clean": q_corpus_clean,
     "multimodal_features": q_multimodal_features,
     "stream_windowed_rollup": q_stream_windowed_rollup,
+    "stream_events_rollup": q_stream_events_rollup,
     "ivf_ann": q_ivf_ann,
     "text_language_id": q_text_language_id,
     "text_token_count": q_text_token_count,
@@ -1574,4 +1638,5 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "text_fingerprint_md5": SQL_FINGERPRINT_MD5,
     "corpus_clean": _sql_corpus_clean(),
+    "stream_events_rollup": SQL_STREAM_EVENTS_ROLLUP,
 }

@@ -30,27 +30,29 @@ def windowed_rollup(
     window: str = "1 minute",
     lateness: str = "2 minutes",
     group_cols: tuple[str, ...] = ("role",),
+    aggs: dict[str, F.Column] | None = None,
 ) -> DataFrame:
     """Tumbling event-time window rollup with a watermark.
 
     Returns a streaming DataFrame (append-capable once the watermark
     closes a window): ``window_start, window_end, <group_cols>,
-    n_events, n_convs``.
-    """
+    <aggs>`` — default aggs: ``n_events`` (count) + ``n_convs``
+    (approx distinct ``conv_id``, the streaming-legal distinct)."""
+    if aggs is None:
+        aggs = {
+            "n_events": F.count(F.lit(1)),
+            "n_convs": F.approx_count_distinct("conv_id"),
+        }
     agg = (
         stream.withWatermark(ts_col, lateness)
         .groupBy(F.window(F.col(ts_col), window), *[F.col(c) for c in group_cols])
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.approx_count_distinct("conv_id").alias("n_convs"),
-        )
+        .agg(*[expr.alias(name) for name, expr in aggs.items()])
     )
     return agg.select(
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),
         *[F.col(c) for c in group_cols],
-        "n_events",
-        "n_convs",
+        *aggs.keys(),
     )
 
 

@@ -147,3 +147,47 @@ def test_streaming_watermark_window(spark, tmp_path):
     assert w1[0]["n_events"] == 5 and w1[0]["role"] == "user"
     # the 10:10 window never closed (watermark stops 2min behind max ts)
     assert all(r["window_start"] == base for r in out)
+
+
+def test_stream_events_rollup_matches_batch(spark):
+    """The oracle-bearing streaming entry: availableNow file-stream over
+    the shared events table emits exactly the watermark-closed windows,
+    which for a single-batch stream equals the batch GROUP BY restricted
+    to windows ending ≤ max(ts) − lateness."""
+    import os
+
+    import pytest
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf_dir}/events.parquet"):
+        pytest.skip("driver testdata not present")
+    from digital_analytics_data_platform_spark.queries import q_stream_events_rollup
+
+    got = {tuple(r) for r in q_stream_events_rollup(spark, sf_dir).collect()}
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    wm = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 45 MINUTES")).alias("w")
+    ).collect()[0]["w"]
+    exp = {
+        tuple(r)
+        for r in (
+            ev.groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.pmod("event_id", F.lit(97))).alias("checksum"),
+            )
+            .select(
+                F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                "event_type",
+                "n_events",
+                "checksum",
+            )
+            .filter(F.col("window_end") <= F.lit(wm))
+            .collect()
+        )
+    }
+    assert got == exp and len(got) > 0

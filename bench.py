@@ -255,7 +255,7 @@ def main() -> None:
     calm_max = float(os.environ.get("BENCH_CALM_MAX_WAIT_S", "300"))
     calm = wait_calm_window(calm_max) if calm_max > 0 else {"calm": None}
     attempts = []
-    max_attempts = int(os.environ.get("BENCH_APPLY_ATTEMPTS", "2"))
+    max_attempts = int(os.environ.get("BENCH_APPLY_ATTEMPTS", "3"))
     for _ in range(max_attempts):
         apply_stats = run_apply_bench(
             spark, n_events, n_batches, n_buckets, strategy=strategy, compact_every=compact_every

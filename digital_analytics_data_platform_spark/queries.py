@@ -1510,6 +1510,41 @@ HAVING window_end <= (SELECT w FROM wm)
 """
 
 
+def q_debezium_roundtrip(spark, sf_dir):
+    """Binlog-wire-format conformance: events rows → Debezium JSON
+    envelopes (inserts/updates as after-images, deletes as before-
+    images, op codes c/u/d, source.lsn) → decoded back through the
+    engine's ``from_json`` envelope decoder. The oracle is the identity
+    on the original rows plus the deterministic op/lsn assignment —
+    proving decode(encode(x)) == x across all three op kinds, with
+    timestamps and doubles surviving the JSON wire format. Pure column
+    expressions (codegen'd Jackson parse), no UDF."""
+    from .sources.debezium import decode_envelopes, encode_envelopes
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
+    changes = ev.withColumn(
+        "op",
+        F.element_at(
+            F.array(F.lit("I"), F.lit("U"), F.lit("D")),
+            (F.pmod(F.col("event_id"), F.lit(3)) + 1).cast("int"),
+        ),
+    ).withColumn("lsn", F.col("event_id"))
+    raw = encode_envelopes(
+        changes, ["event_id", "ts", "user_id", "event_type", "value"], commit_lsn_col=None
+    )
+    decoded = decode_envelopes(raw, ev.schema)
+    return decoded.drop("commit_lsn")
+
+
+SQL_DEBEZIUM_ROUNDTRIP = """
+SELECT
+  event_id, ts, user_id, event_type, value,
+  CASE event_id % 3 WHEN 0 THEN 'I' WHEN 1 THEN 'U' ELSE 'D' END AS op,
+  event_id AS lsn
+FROM events
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     """No SQL oracle (mapInPandas feature extraction); deterministic
     fake-decode covered by tests. Scalar columns only — the feature
@@ -1575,6 +1610,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "stream_windowed_rollup": q_stream_windowed_rollup,
     "stream_events_rollup": q_stream_events_rollup,
+    "debezium_roundtrip": q_debezium_roundtrip,
     "ivf_ann": q_ivf_ann,
     "text_language_id": q_text_language_id,
     "text_token_count": q_text_token_count,
@@ -1639,4 +1675,5 @@ ORACLES: dict[str, str] = {
     "text_fingerprint_md5": SQL_FINGERPRINT_MD5,
     "corpus_clean": _sql_corpus_clean(),
     "stream_events_rollup": SQL_STREAM_EVENTS_ROLLUP,
+    "debezium_roundtrip": SQL_DEBEZIUM_ROUNDTRIP,
 }

@@ -76,3 +76,73 @@ def test_manifest_idempotent_reupload(tmp_path):
     assert m.should_process("2026-01-10", f2)  # changed content → supersede
     m.register("2026-01-10", f2)
     assert not m.should_process("2026-01-10", f2)
+
+
+# ---------------------------------------------------------------------------
+# Debezium JSON envelope source (binlog wire format)
+
+
+def test_debezium_decode_ops_and_images(spark):
+    """c/r → I, u → U, d → D (image from `before`); unknown op codes and
+    garbage JSON survive as null-op rows for the quarantine path."""
+    from pyspark.sql import types as T
+
+    from digital_analytics_data_platform_spark.sources.debezium import decode_envelopes
+
+    row_schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.IntegerType())]
+    )
+    raw = spark.createDataFrame(
+        [
+            ('{"after":{"k":"a","v":1},"op":"c","ts_ms":5,"source":{"lsn":10,"txId":1}}',),
+            ('{"after":{"k":"b","v":2},"op":"r","source":{"lsn":11,"txId":1}}',),
+            ('{"before":{"k":"a","v":1},"after":{"k":"a","v":9},"op":"u","source":{"lsn":12,"txId":2}}',),
+            ('{"before":{"k":"b","v":2},"op":"d","source":{"lsn":13,"txId":2}}',),
+            ('{"after":{"k":"c","v":3},"op":"x","source":{"lsn":14,"txId":3}}',),  # unknown op
+            ("not json at all",),
+            ('{"after":{"k":"e","v":5},"op":"c","ts_ms":77,"source":null}',),  # lsn falls back to ts_ms
+        ],
+        T.StructType([T.StructField("value", T.StringType())]),
+    )
+    got = {
+        (r["k"], r["v"], r["op"], r["lsn"], r["commit_lsn"])
+        for r in decode_envelopes(raw, row_schema).collect()
+    }
+    assert ("a", 1, "I", 10, 1) in got
+    assert ("b", 2, "I", 11, 1) in got  # snapshot read is an insert
+    assert ("a", 9, "U", 12, 2) in got  # update carries the after-image
+    assert ("b", 2, "D", 13, 2) in got  # delete carries the before-image
+    assert ("c", 3, None, 14, 3) in got  # unknown op → null op (quarantine)
+    assert (None, None, None, None, None) in got  # garbage → all-null row
+    assert ("e", 5, "I", 77, None) in got  # source.lsn null → ts_ms fallback
+
+
+def test_debezium_roundtrip_feed_applies_identically(spark, tmp_path):
+    """End-to-end: a change log encoded to Debezium wire format, decoded
+    by the envelope source, and applied through MERGE yields the exact
+    same table state as applying the original log directly."""
+    from digital_analytics_data_platform_spark import datagen
+    from digital_analytics_data_platform_spark.lake import LakeTable, merge_changes
+    from digital_analytics_data_platform_spark.sources.debezium import (
+        decode_envelopes,
+        encode_envelopes,
+    )
+    from tests.conftest import TRANSCRIPT_SCHEMA
+
+    log = datagen.change_log(spark, 4000, n_convs=40, turns_per_conv=10)
+    row_cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    wire = encode_envelopes(log, row_cols, ts_ms_col="lsn")
+    decoded = decode_envelopes(wire, log.select(*row_cols).schema)
+
+    t_direct = LakeTable.create(
+        str(tmp_path / "direct"), TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], ["ts", "lsn"]
+    )
+    t_wire = LakeTable.create(
+        str(tmp_path / "wire"), TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], ["ts", "lsn"]
+    )
+    merge_changes(spark, t_direct, log, batch_key="b0")
+    merge_changes(spark, t_wire, decoded, batch_key="b0")
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn"]
+    a = sorted(tuple(r) for r in t_direct.read(spark).select(*cols).collect())
+    b = sorted(tuple(r) for r in t_wire.read(spark).select(*cols).collect())
+    assert a == b and len(a) > 0

@@ -1,0 +1,89 @@
+"""Physical-plan assertions: the scale properties the engine claims
+(filter pushdown to the scan, broadcast for small dims, no
+row-at-a-time Python in any registry query) checked against
+`.explain`/optimizedPlan output, so a regression that silently
+de-optimizes a plan fails CI rather than only showing up at 100 TB.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+needs_testdata = pytest.mark.skipif(
+    not os.path.exists(f"{SF_DIR}/events.parquet"), reason="driver testdata not present"
+)
+
+
+def _explain(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+@needs_testdata
+def test_lookback_filter_pushes_to_parquet_scan(spark):
+    """S1: the lookback predicate must reach the parquet reader as a
+    pushed filter, and the projection must prune the read schema —
+    a scan that reads all columns to serve two is wrong at any scale."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    q = ev.filter(F.col("ts") >= F.lit("2024-01-15")).select("event_id", "ts")
+    plan = _explain(q)
+    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts," in plan
+    assert "ReadSchema: struct<event_id:bigint,ts:timestamp" in plan
+
+
+@needs_testdata
+def test_calendar_dim_join_broadcasts(spark):
+    """J8: the fiscal-calendar dim (≈52 rows/yr) must broadcast — a
+    shuffle join against a hundred-row dim is the canonical small-dim
+    mistake."""
+    from digital_analytics_data_platform_spark.queries import q_yoy_weekly
+
+    plan = _explain(q_yoy_weekly(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+@needs_testdata
+def test_no_row_at_a_time_python_in_any_registry_plan(spark):
+    """§2.8 contract: zero per-row Python UDFs anywhere. Pandas/Arrow
+    UDFs (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) are the
+    sanctioned Python escape hatch; BatchEvalPython (pickle-per-row) is
+    banned. Checks every registry entry that builds a plan lazily."""
+    from digital_analytics_data_platform_spark.queries import REGISTRY
+
+    # entries that execute eagerly (streaming into memory sinks, k-means
+    # training collects) are driven by their own tests; everything else
+    # must produce a BatchEvalPython-free plan
+    eager = {"stream_windowed_rollup", "stream_events_rollup", "ivf_ann"}
+    checked = 0
+    for name, fn in REGISTRY.items():
+        if name in eager:
+            continue
+        plan = _explain(fn(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
+        checked += 1
+    assert checked >= 50
+
+
+@needs_testdata
+def test_exact_dedupe_has_partial_combine_and_no_window(spark):
+    """W1-at-scale: the LWW dedupe must run PARTIAL aggregation before
+    the exchange (map-side combine collapses hot keys, so a Zipf-skewed
+    conversation can't stall one reducer) and must never be a Window
+    over the full shuffled table. Note the physical op is SortAggregate,
+    not HashAggregate — `max_by(struct, struct)` carries a struct
+    aggregation buffer, which Spark's hash aggregate cannot hold
+    (mutable-buffer-types rule); the scale property that matters is the
+    partial combine + single shuffle, which this asserts."""
+    from digital_analytics_data_platform_spark.operators.dedupe import dedupe_lww
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = _explain(dedupe_lww(ev, ["user_id", "event_type"], ["ts", "event_id"]))
+    import re
+
+    assert "partial_max_by" in plan  # map-side combine, pre-shuffle
+    assert "Window" not in plan
+    # one shuffle, keyed by the merge key (formatted explain prints each
+    # node twice: once in the tree, once in the detail section)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1

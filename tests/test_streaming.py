@@ -191,3 +191,55 @@ def test_stream_events_rollup_matches_batch(spark):
         )
     }
     assert got == exp and len(got) > 0
+
+
+def test_json_wire_stream_applies_identically(spark, tmp_path):
+    """Raw-wire-format tail: the same change log, landed once as parquet
+    segments and once as Debezium JSON envelope files, streamed through
+    the foreachBatch apply, yields identical table state."""
+    import os
+
+    from digital_analytics_data_platform_spark.lake import LakeTable
+    from digital_analytics_data_platform_spark.sources.debezium import encode_envelopes
+    from digital_analytics_data_platform_spark.streaming.runner import apply_stream
+    from digital_analytics_data_platform_spark.streaming.source import cdc_json_stream
+    from tests.conftest import TRANSCRIPT_SCHEMA
+
+    log = datagen.change_log(spark, 3000, n_convs=30, turns_per_conv=10)
+    row_cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+    # land the wire form: newline-delimited JSON envelope files
+    wire_dir = str(tmp_path / "wire")
+    os.makedirs(wire_dir)
+    encode_envelopes(log, row_cols, ts_ms_col="lsn").coalesce(2).write.mode("overwrite").text(
+        str(tmp_path / "wire_stage")
+    )
+    import glob
+    import shutil
+
+    for i, p in enumerate(sorted(glob.glob(str(tmp_path / "wire_stage" / "part-*")))):
+        shutil.move(p, os.path.join(wire_dir, f"seg_{i:04d}.jsonl"))
+
+    # parquet-segment path (the landed form)
+    pq_dir = str(tmp_path / "pq")
+    write_log_segments(log, pq_dir, n_segments=2)
+
+    t_wire = LakeTable.create(
+        str(tmp_path / "t_wire"), TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], ["ts", "lsn"]
+    )
+    t_pq = LakeTable.create(
+        str(tmp_path / "t_pq"), TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], ["ts", "lsn"]
+    )
+    src_wire = cdc_json_stream(spark, wire_dir)
+    _, m1 = apply_stream(
+        spark, src_wire, str(tmp_path / "t_wire"), str(tmp_path / "ck_wire"), pipeline_id="wire"
+    )
+    src_pq = cdc_file_stream(spark, pq_dir)
+    _, m2 = apply_stream(
+        spark, src_pq, str(tmp_path / "t_pq"), str(tmp_path / "ck_pq"), pipeline_id="pq"
+    )
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn"]
+    a = sorted(tuple(r) for r in t_wire.read(spark).select(*cols).collect())
+    b = sorted(tuple(r) for r in t_pq.read(spark).select(*cols).collect())
+    assert a == b and len(a) > 0
+    assert m1.events > 0

@@ -6,14 +6,15 @@ text (``01_Notebook_v8.ipynb`` BRONZE DDL: ``page_image_png BYTES``);
 this module generalizes that to the decode / feature-extract /
 resize / frame-sample stages a training-data pipeline needs.
 
-Decoding: REAL decoders exist for the container-decodable formats —
-PPM (P6) and uncompressed 24-bit BMP via NumPy, PCM WAV via the
-stdlib ``wave`` module — plus nearest-neighbor resize, all pure
-NumPy inside the Arrow batch loop. Compressed codecs (PNG/JPEG/MP3/
-H.264) still raise ``NotImplementedError`` (Pillow/ffmpeg are not in
-this container; swapping them in is a one-function change inside the
-batch loop). The deterministic fake decoder remains for plumbing tests
-over arbitrary bytes.
+Decoding: REAL decoders — **PNG** (stdlib zlib inflate + NumPy
+unfilter, all five scanline filters; the reference's exact stored
+format), PPM (P6) and uncompressed 24-bit BMP via NumPy, PCM WAV via
+the stdlib ``wave`` module — plus nearest-neighbor resize, all inside
+the Arrow batch loop. DCT/entropy codecs (JPEG/MP3/H.264) still raise
+``NotImplementedError`` (libjpeg/ffmpeg are not in this container;
+swapping them in is a one-function change inside the batch loop). The
+deterministic fake decoder remains for plumbing tests over arbitrary
+bytes.
 """
 
 from __future__ import annotations
@@ -79,8 +80,9 @@ def decode_image(payload: bytes, *, fake: bool = False):
 
     ``fake=True``: deterministic pseudo-decode (16-bin byte histogram)
     for plumbing tests over arbitrary bytes. Otherwise dispatch on the
-    magic bytes: PPM (P6) and uncompressed 24-bit BMP decode for real
-    (NumPy only); compressed codecs raise — Pillow is the drop-in there
+    magic bytes: PNG (zlib + NumPy, see :func:`_decode_png`), PPM (P6)
+    and uncompressed 24-bit BMP decode for real; DCT codecs (JPEG)
+    raise — Pillow is the drop-in there
     (``PIL.Image.open(BytesIO(…))``)."""
     if fake:
         hist = [0] * 16
@@ -91,9 +93,161 @@ def decode_image(payload: bytes, *, fake: bool = False):
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == PNG_SIG:
+        return _decode_png(payload)
     raise NotImplementedError(
-        "compressed image codecs (PNG/JPEG) require Pillow, not present in this "
-        "container; PPM(P6)/BMP24 decode natively, or pass fake=True"
+        "JPEG requires a DCT codec (Pillow/libjpeg), not present in this "
+        "container; PNG/PPM(P6)/BMP24 decode natively, or pass fake=True"
+    )
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(payload: bytes):
+    """Real PNG decode, stdlib-only (zlib + NumPy): 8-bit non-interlaced
+    gray / gray+alpha / RGB / RGBA, all five scanline filters, chunk
+    CRCs verified → uint8 ndarray (h, w, 3) RGB. This is the
+    reference's exact stored format (``01_Notebook_v8.ipynb`` BRONZE
+    DDL: ``page_image_png BYTES``). Filters None/Sub/Up unfilter
+    vectorized (Sub is a per-byte-lane cumsum); Average/Paeth rows fall
+    back to a sequential scan (their recurrence needs the just-
+    reconstructed left neighbor). Palette/16-bit/interlaced raise."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError("only 8-bit non-interlaced PNG supported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise NotImplementedError("palette PNG not supported")
+    stride = w * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    bpp = channels
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ft = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int64)
+        if ft == 0:
+            rec = line
+        elif ft == 1:  # Sub: per-lane prefix sum mod 256
+            rec = line.copy()
+            for lane in range(bpp):
+                rec[lane::bpp] = np.cumsum(line[lane::bpp]) % 256
+        elif ft == 2:  # Up
+            rec = (line + prior) % 256
+        elif ft in (3, 4):  # Average / Paeth: sequential recurrence
+            rec = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prior[i]
+                if ft == 3:
+                    rec[i] = (line[i] + (a + b) // 2) % 256
+                else:
+                    c = prior[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[i] = (line[i] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+        prior = rec
+    px = out.reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    if channels == 2:  # gray+alpha → replicate luminance, drop alpha
+        return np.repeat(px[..., :1], 3, axis=2)
+    if channels == 4:
+        return np.ascontiguousarray(px[..., :3])
+    return px
+
+
+def encode_png(pixels, *, filters: "tuple[int, ...] | None" = None) -> bytes:
+    """uint8 (h, w[, channels]) → PNG bytes (stdlib zlib). ``filters``
+    cycles per-row scanline filter types (default None-filter rows);
+    encoding-side filtering only needs the ORIGINAL previous row, so
+    every filter vectorizes here."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.ascontiguousarray(np.asarray(pixels, dtype=np.uint8))
+    if px.ndim == 2:
+        px = px[..., None]
+    h, w, ch = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = px.reshape(h, w * ch).astype(np.int64)
+    bpp = ch
+    lines = bytearray()
+    prior = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        ft = filters[y % len(filters)] if filters else 0
+        row = flat[y]
+        left = np.zeros_like(row)
+        left[bpp:] = row[:-bpp]
+        if ft == 0:
+            f = row
+        elif ft == 1:
+            f = (row - left) % 256
+        elif ft == 2:
+            f = (row - prior) % 256
+        elif ft == 3:
+            f = (row - (left + prior) // 2) % 256
+        elif ft == 4:
+            upleft = np.zeros_like(prior)
+            upleft[bpp:] = prior[:-bpp]
+            p = left + prior - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, upleft))
+            f = (row - pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        lines.append(ft)
+        lines += f.astype(np.uint8).tobytes()
+        prior = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
     )
 
 
@@ -243,18 +397,21 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
-def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
-    """Decode → nearest-neighbor resize → re-encode (PPM), Arrow-batched.
-    The thumbnail/normalization stage of a training-data image pipeline;
-    rows whose codec isn't container-decodable are dropped with a null
-    payload rather than failing the batch."""
+def resize_images(df: DataFrame, out_w: int, out_h: int, *, codec: str = "ppm") -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode, Arrow-batched.
+    ``codec='png'`` re-encodes thumbnails as PNG (the reference's stored
+    image format); ``'ppm'`` stays raw. The thumbnail/normalization
+    stage of a training-data image pipeline; rows whose codec isn't
+    decodable are dropped with a null payload rather than failing the
+    batch."""
+    enc = encode_png if codec == "png" else encode_ppm
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
             for p in pdf["payload"]:
                 try:
-                    out.append(encode_ppm(resize_image(decode_image(bytes(p)), out_w, out_h)))
+                    out.append(enc(resize_image(decode_image(bytes(p)), out_w, out_h)))
                 except Exception:
                     # unsupported codec OR malformed payload (bytes that
                     # merely look like a magic number raise ValueError/

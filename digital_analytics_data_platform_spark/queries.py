@@ -1510,6 +1510,49 @@ HAVING window_end <= (SELECT w FROM wm)
 """
 
 
+def q_multimodal_png(spark, sf_dir):
+    """Real-codec multimodal path: deterministic synthetic pixels →
+    PNG-encode (stdlib zlib, cycling all five scanline filters) →
+    the real decode + feature extraction + PNG-thumbnail stages, all
+    inside mapInPandas Arrow batches. No SQL oracle (codec work isn't
+    SQL-expressible); pixel-exact round-trip across every filter is
+    pinned by tests/test_operators.py::test_png_codec_roundtrip_*."""
+    from .operators.multimodal import (
+        FEATURE_SCHEMA,
+        decode_image,
+        encode_png,
+        image_features,
+    )
+
+    def gen_and_extract(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = {"media_id": [], "kind": [], "n_bytes": [], "byte_entropy": [], "feature": []}
+            for mid in pdf["id"]:
+                rng = np.random.RandomState(int(mid) % (2**31 - 1))
+                px = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+                payload = encode_png(px, filters=(0, 1, 2, 3, 4))
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                counts = np.bincount(arr, minlength=256).astype(np.float64)
+                probs = counts[counts > 0] / max(len(arr), 1)
+                rows["media_id"].append(int(mid))
+                rows["kind"].append("image")
+                rows["n_bytes"].append(len(payload))
+                rows["byte_entropy"].append(float(-(probs * np.log2(probs)).sum()))
+                rows["feature"].append(image_features(decode_image(payload)))
+            yield pd.DataFrame(rows)
+
+    feats = spark.range(128).repartition(8).mapInPandas(gen_and_extract, FEATURE_SCHEMA)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round("byte_entropy", 6).alias("byte_entropy"),
+        F.xxhash64(F.col("feature").cast("string")).alias("feature_hash"),
+    )
+
+
 def q_debezium_roundtrip(spark, sf_dir):
     """Binlog-wire-format conformance: events rows → Debezium JSON
     envelopes (inserts/updates as after-images, deletes as before-
@@ -1611,6 +1654,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_windowed_rollup": q_stream_windowed_rollup,
     "stream_events_rollup": q_stream_events_rollup,
     "debezium_roundtrip": q_debezium_roundtrip,
+    "multimodal_png": q_multimodal_png,
     "ivf_ann": q_ivf_ann,
     "text_language_id": q_text_language_id,
     "text_token_count": q_text_token_count,

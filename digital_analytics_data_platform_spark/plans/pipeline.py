@@ -465,7 +465,20 @@ class MedallionPipeline:
         """The reference's scoped ``WHEN NOT MATCHED BY SOURCE …
         DELETE`` (``sql/05_SDI_PROFOUND/…/01_sp_reconcile_…:176-178``):
         gold rows of touched conversations that vanished from the
-        recompute (all their turns deleted) become tombstones."""
+        recompute (all their turns deleted) become tombstones.
+
+        Scale note — why this read is column-pruned but NOT
+        bucket-pruned: gold buckets by its first key (day / qgp_week),
+        and pruning to the batch's touched days would be WRONG — a
+        delete event's ``ts`` can differ from the previously-live
+        version's ``ts`` (ts is payload, LWW keeps the delete's values),
+        so the day whose gold row must be tombstoned may appear in no
+        surviving bronze row. The existing-keys scan therefore stays
+        O(table files) but reads ONLY the key columns + the deleted flag
+        (Catalyst prunes the scan — asserted in
+        tests/test_plan_properties.py); at 10^10 rows that is a
+        keys-only columnar skim, and the full-width work stays
+        O(touched)."""
         existing = (
             gold_tbl.read(spark)
             .join(conv_keys, "conv_id", "left_semi")

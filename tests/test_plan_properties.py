@@ -87,3 +87,22 @@ def test_exact_dedupe_has_partial_combine_and_no_window(spark):
     # one shuffle, keyed by the merge key (formatted explain prints each
     # node twice: once in the tree, once in the detail section)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_gold_existing_keys_read_is_column_pruned(spark, tmp_path):
+    """_with_scoped_deletes scans gold for existing keys; the scan must
+    read ONLY the key columns (+ the deleted flag), never the full
+    metric width — at 10^10 rows the keys-only columnar skim is what
+    keeps the scoped-delete pass affordable."""
+    from digital_analytics_data_platform_spark import datagen
+    from digital_analytics_data_platform_spark.lake.table import LakeTable
+    from digital_analytics_data_platform_spark.plans.pipeline import MedallionPipeline
+    from tests.conftest import TRANSCRIPT_SCHEMA
+
+    p = MedallionPipeline(str(tmp_path / "med"), n_buckets=8, run_qa=False)
+    p.create_tables(TRANSCRIPT_SCHEMA)
+    p.apply_batch(spark, datagen.change_log(spark, 1000, n_convs=10, turns_per_conv=5), 0)
+    g = LakeTable.load(str(tmp_path / "med" / "gold_daily"))
+    q = g.read(spark).select("day", "conv_id")
+    plan = _explain(q)
+    assert "ReadSchema: struct<day:date,conv_id:string,_deleted:boolean>" in plan

@@ -132,7 +132,13 @@ def brute_force_topk(
     q = queries.select(
         F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
     )
-    scored = corpus.crossJoin(F.broadcast(q)).select(
+    # the scan's split count must not bound the O(|corpus|·|queries|)
+    # kernel: a small-file corpus reads as ONE split, pinning the whole
+    # cosine compute to one core. Round-robin repartition costs O(n)
+    # bytes against O(n·q) compute — negligible, and at real corpus
+    # sizes the scan is already this wide.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    scored = corpus.repartition(par).crossJoin(F.broadcast(q)).select(
         F.col("_qid").alias(query_id_col),
         F.col(id_col),
         cosine(vec_col, "_qvec").alias("cosine"),

@@ -1138,6 +1138,10 @@ def q_embedding_cosine_pairs(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     l = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
     r = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    # widen the stream side so the O(n²) kernel isn't pinned to the
+    # scan's split count (one split for a small file) — see
+    # brute_force_topk for the same-reason repartition
+    l = l.repartition(spark.sparkContext.defaultParallelism)
     return (
         l.join(r, F.col("a") < F.col("b"))
         .select("a", "b", cosine("va", "vb").alias("cos"))

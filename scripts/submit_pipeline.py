@@ -1,0 +1,174 @@
+"""spark-submit entrypoint for the CDC → medallion pipeline — the
+deployment shape the north star names (``spark-submit --py-files
+dadp.zip scripts/submit_pipeline.py --feed-dir …``). On a cluster the
+master/executors come from spark-submit; run locally it builds its own
+``local[N]`` session.
+
+Tails a change-feed directory (parquet log segments, or Debezium JSON
+envelope files with ``--wire-format json``) through the checkpointed
+foreachBatch apply into Bronze → Silver → Gold, then prints one JSON
+line of run metrics. Resumable: re-running with the same checkpoint
+directory continues from the last committed offset, and replayed
+batches are no-ops via the table ledger.
+
+Usage (local smoke):
+    python scripts/submit_pipeline.py --feed-dir /data/cdc_log \
+        --lake-dir /data/lake --checkpoint-dir /data/ckpt \
+        --strategy mor --compact-every 8
+
+Packaging for a real cluster:
+    cd /root/repo && zip -r /tmp/dadp.zip digital_analytics_data_platform_spark
+    spark-submit --py-files /tmp/dadp.zip scripts/submit_pipeline.py …
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--feed-dir", required=True, help="change-feed directory to tail")
+    ap.add_argument("--lake-dir", required=True, help="medallion table root")
+    ap.add_argument("--checkpoint-dir", required=True)
+    ap.add_argument("--wire-format", choices=["parquet", "json"], default="parquet",
+                    help="parquet log segments or Debezium JSON envelopes")
+    ap.add_argument("--mode", choices=["medallion", "bronze-only"], default="medallion",
+                    help="full Bronze→Silver→Gold rebuild per batch, or bronze apply only")
+    ap.add_argument("--strategy", choices=["cow", "mor"], default="mor")
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--write-salt", type=int, default=1,
+                    help=">1 spreads hot-conversation writes over several tasks")
+    ap.add_argument("--compact-every", type=int, default=0,
+                    help="bronze-only: fold MOR deltas every N batches")
+    ap.add_argument("--trigger", default="available-now",
+                    help="'available-now' (bounded replay) or a processingTime "
+                         "interval like '30 seconds' (live tail)")
+    ap.add_argument("--max-files-per-trigger", type=int, default=None)
+    ap.add_argument("--run-qa", action="store_true",
+                    help="medallion mode: per-batch scoped QA + qa_results table")
+    ap.add_argument("--local-cores", type=int, default=None,
+                    help="build a local[N] session (omit under spark-submit on a cluster)")
+    return ap
+
+
+def main(argv: list[str] | None = None) -> dict:
+    args = build_parser().parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from digital_analytics_data_platform_spark.lake import LakeTable
+    from digital_analytics_data_platform_spark.streaming.runner import apply_stream
+    from digital_analytics_data_platform_spark.streaming.source import (
+        cdc_file_stream,
+        cdc_json_stream,
+        cdc_schema,
+    )
+
+    if args.local_cores:
+        from digital_analytics_data_platform_spark.session import get_spark
+
+        spark = get_spark(
+            "dadp-pipeline",
+            master=f"local[{args.local_cores}]",
+            shuffle_partitions=args.local_cores,
+        )
+    else:
+        # under spark-submit the session/master is the cluster's
+        spark = SparkSession.builder.appName("dadp-pipeline").getOrCreate()
+
+    if args.wire_format == "json":
+        source = cdc_json_stream(
+            spark, args.feed_dir, max_files_per_trigger=args.max_files_per_trigger
+        )
+    else:
+        source = cdc_file_stream(
+            spark, args.feed_dir, max_files_per_trigger=args.max_files_per_trigger
+        )
+
+    available_now = args.trigger == "available-now"
+    processing_time = None if available_now else args.trigger
+
+    if args.mode == "bronze-only":
+        bronze_path = f"{args.lake_dir}/bronze"
+        if not LakeTable.exists(bronze_path):
+            row_schema = cdc_schema()
+            from pyspark.sql import types as T
+
+            LakeTable.create(
+                bronze_path,
+                T.StructType([f for f in row_schema.fields if f.name != "op"]),
+                ["conv_id", "turn_idx"],
+                ["ts", "lsn"],
+                n_buckets=args.n_buckets,
+            )
+        _, metrics = apply_stream(
+            spark,
+            source,
+            bronze_path,
+            args.checkpoint_dir,
+            available_now=available_now,
+            processing_time=processing_time,
+            write_salt=args.write_salt,
+            strategy=args.strategy,
+            compact_every=args.compact_every,
+            await_termination=available_now,
+        )
+        out = {
+            "mode": "bronze-only",
+            "batches": metrics.batches,
+            "events": metrics.events,
+            "quarantined": metrics.quarantined,
+            "deletes": metrics.deletes,
+            "skipped_batches": metrics.skipped_batches,
+            "wall_s": round(metrics.wall_s, 3),
+            "events_per_sec": round(metrics.events_per_sec, 1),
+        }
+    else:
+        from digital_analytics_data_platform_spark.plans.pipeline import MedallionPipeline
+
+        row_schema = cdc_schema()
+        from pyspark.sql import types as T
+
+        pipe = MedallionPipeline(
+            args.lake_dir,
+            n_buckets=args.n_buckets,
+            strategy=args.strategy,
+            run_qa=args.run_qa,
+        )
+        if not LakeTable.exists(f"{args.lake_dir}/bronze"):
+            pipe.create_tables(
+                T.StructType([f for f in row_schema.fields if f.name != "op"])
+            )
+        n = {"batches": 0, "events": 0}
+
+        def apply_batch(batch_df, batch_id):
+            res = pipe.apply_batch(spark, batch_df, batch_id)
+            n["batches"] += 1
+            if not res.bronze.skipped:
+                n["events"] += res.bronze.events_in
+
+        writer = source.writeStream.foreachBatch(apply_batch).option(
+            "checkpointLocation", args.checkpoint_dir
+        )
+        writer = (
+            writer.trigger(availableNow=True)
+            if available_now
+            else writer.trigger(processingTime=processing_time)
+        )
+        q = writer.start()
+        if available_now:
+            q.awaitTermination()
+        out = {"mode": "medallion", **n}
+
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()

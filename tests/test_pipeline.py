@@ -347,3 +347,57 @@ def test_run_full_audit(spark, tmp_path):
     ]
     audits = p.read(spark, "qa_results").filter("run_id LIKE 'full_audit:%'")
     assert audits.count() == len(results)
+
+
+def test_submit_pipeline_cli_replay_and_resume(spark, tmp_path, monkeypatch):
+    """The spark-submit entrypoint: tails a feed directory through the
+    checkpointed medallion apply, and a re-run with the same checkpoint
+    is a clean no-op (resume semantics) while a new segment is picked
+    up incrementally."""
+    import importlib
+    import sys
+    from pathlib import Path
+
+    from digital_analytics_data_platform_spark.streaming.source import write_log_segments
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    submit = importlib.import_module("submit_pipeline")
+
+    # the CLI builds its own session when --local-cores is given; reuse
+    # the test session instead so the suite stays one-JVM
+    import digital_analytics_data_platform_spark.session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
+
+    log = datagen.change_log(spark, 2000, n_convs=20, turns_per_conv=5)
+    feed = str(tmp_path / "feed")
+    write_log_segments(log, feed, n_segments=2)
+    lake, ckpt = str(tmp_path / "lake"), str(tmp_path / "ckpt")
+
+    args = [
+        "--feed-dir", feed, "--lake-dir", lake, "--checkpoint-dir", ckpt,
+        "--mode", "medallion", "--strategy", "mor", "--n-buckets", "8",
+        "--local-cores", "8",
+    ]
+    out1 = submit.main(args)
+    assert out1["batches"] >= 1 and out1["events"] > 0
+
+    from digital_analytics_data_platform_spark.lake import LakeTable
+
+    rows_after_first = LakeTable.load(f"{lake}/bronze").read(spark).count()
+    assert rows_after_first > 0
+
+    # resume with nothing new: no batches applied, state unchanged
+    out2 = submit.main(args)
+    assert out2["events"] == 0
+    assert LakeTable.load(f"{lake}/bronze").read(spark).count() == rows_after_first
+
+    # a NEW segment arrives → only it is applied
+    late = cdc_rows(spark, [("I", "brand_new_conv", 0, "user", "hello", None, 10**7, 10**7)])
+    write_log_segments(late, feed, n_segments=1)
+    out3 = submit.main(args)
+    assert out3["events"] >= 1
+    assert (
+        LakeTable.load(f"{lake}/bronze").read(spark).filter("conv_id = 'brand_new_conv'").count()
+        == 1
+    )

@@ -186,12 +186,18 @@ def run_apply_bench(
             compact_fn(spark, tbl)
     t0 = time.monotonic()
     s0 = _steal_seconds()
-    final_rows = compact_fn(spark, tbl) if strategy == "mor" else tbl.total_rows()
+    compact_rows = compact_fn(spark, tbl) if strategy == "mor" else 0
+    # compact returns rows WRITTEN (0 = no deltas to fold, e.g. an
+    # in-loop compact already ran); the published row count must be the
+    # table's, not the no-op's
+    final_rows = compact_rows if compact_rows else tbl.total_rows()
     compact_wall = time.monotonic() - t0
     compact_steal = _steal_seconds() - s0
     # write-job vs stats-job split of the compact (bisects a slow
-    # compact into collapse+write vs manifest-stats phases)
-    compact_walls = dict(getattr(tbl, "last_write_walls", {}) or {})
+    # compact into collapse+write vs manifest-stats phases); only valid
+    # when the compact actually wrote — otherwise last_write_walls still
+    # holds the final BATCH merge's walls
+    compact_walls = dict(getattr(tbl, "last_write_walls", {}) or {}) if compact_rows else {}
     shutil.rmtree(tmp, ignore_errors=True)
     steady = batch_walls[1:] if len(batch_walls) > 1 else batch_walls
     steady_events = n_events - n_events // n_batches if len(batch_walls) > 1 else n_events
@@ -255,7 +261,7 @@ def main() -> None:
     calm_max = float(os.environ.get("BENCH_CALM_MAX_WAIT_S", "300"))
     calm = wait_calm_window(calm_max) if calm_max > 0 else {"calm": None}
     attempts = []
-    max_attempts = int(os.environ.get("BENCH_APPLY_ATTEMPTS", "3"))
+    max_attempts = max(1, int(os.environ.get("BENCH_APPLY_ATTEMPTS", "3")))
     for _ in range(max_attempts):
         apply_stats = run_apply_bench(
             spark, n_events, n_batches, n_buckets, strategy=strategy, compact_every=compact_every

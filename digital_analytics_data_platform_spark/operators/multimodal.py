@@ -404,6 +404,8 @@ def resize_images(df: DataFrame, out_w: int, out_h: int, *, codec: str = "ppm") 
     stage of a training-data image pipeline; rows whose codec isn't
     decodable are dropped with a null payload rather than failing the
     batch."""
+    if codec not in ("png", "ppm"):
+        raise ValueError(f"unknown thumbnail codec {codec!r} (expected 'png' or 'ppm')")
     enc = encode_png if codec == "png" else encode_ppm
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -59,12 +59,16 @@ class MedallionPipeline:
         conv_dim: DataFrame | None = None,
         strategy: str = "cow",
         run_qa: bool = True,
+        write_salt: int = 1,
     ):
         self.base_dir = base_dir
         self.n_buckets = n_buckets
         self.conv_dim = conv_dim
         self.strategy = strategy
         self.run_qa = run_qa
+        # >1 spreads a hot conversation's bronze writes over several
+        # tasks (skew mitigation; same knob as merge_changes)
+        self.write_salt = write_salt
 
     # -- table handles -----------------------------------------------------
 
@@ -98,7 +102,8 @@ class MedallionPipeline:
     def apply_batch(self, spark: SparkSession, batch: DataFrame, batch_id: int | str) -> MedallionResult:
         bronze_tbl = LakeTable.load(self._path("bronze"))
         res_b = merge_changes(
-            spark, bronze_tbl, batch, batch_key=f"bronze:{batch_id}", strategy=self.strategy
+            spark, bronze_tbl, batch, batch_key=f"bronze:{batch_id}",
+            strategy=self.strategy, write_salt=self.write_salt,
         )
         out = MedallionResult(bronze=res_b)
         if res_b.skipped:

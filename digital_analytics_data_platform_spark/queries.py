@@ -1430,25 +1430,30 @@ def q_stream_windowed_rollup(spark, sf_dir):
     # input keeps it inside the driver harness's time budget (it had no
     # CORRECTNESS row in r2 because the harness ran out of budget on the
     # registry tail).
+    import shutil
+
     log = datagen.change_log(spark, 6_000, n_convs=30, turns_per_conv=10)
     tmp = tempfile.mkdtemp(prefix="wmroll_")
-    write_log_segments(log, f"{tmp}/log", n_segments=2)
-    src = cdc_file_stream(spark, f"{tmp}/log", max_files_per_trigger=1)
-    q = run_windowed_rollup_to_memory(
-        spark,
-        src,
-        query_name="q_stream_windowed_rollup",
-        checkpoint_dir=f"{tmp}/ckpt",
-        window="10 seconds",
-        lateness="30 seconds",
-        group_cols=("role",),
-    )
-    if not q.awaitTermination(300):
-        # a stalled stream must fail loudly, not return a truncated
-        # memory table that would be scored as if complete
-        q.stop()
-        raise TimeoutError("q_stream_windowed_rollup did not finish within 300s")
-    return spark.table("q_stream_windowed_rollup")
+    try:
+        write_log_segments(log, f"{tmp}/log", n_segments=2)
+        src = cdc_file_stream(spark, f"{tmp}/log", max_files_per_trigger=1)
+        q = run_windowed_rollup_to_memory(
+            spark,
+            src,
+            query_name="q_stream_windowed_rollup",
+            checkpoint_dir=f"{tmp}/ckpt",
+            window="10 seconds",
+            lateness="30 seconds",
+            group_cols=("role",),
+        )
+        if not q.awaitTermination(300):
+            # a stalled stream must fail loudly, not return a truncated
+            # memory table that would be scored as if complete
+            q.stop()
+            raise TimeoutError("q_stream_windowed_rollup did not finish within 300s")
+        return spark.table("q_stream_windowed_rollup")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def q_stream_events_rollup(spark, sf_dir):
@@ -1479,25 +1484,32 @@ def q_stream_events_rollup(spark, sf_dir):
         .parquet(f"{sf_dir}/events.parque[t]")
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
+    import shutil
+
     tmp = tempfile.mkdtemp(prefix="evroll_")
-    q = run_windowed_rollup_to_memory(
-        spark,
-        src,
-        query_name="q_stream_events_rollup",
-        checkpoint_dir=f"{tmp}/ckpt",
-        ts_col="ts",
-        window="1 hour",
-        lateness="45 minutes",
-        group_cols=("event_type",),
-        aggs={
-            "n_events": F.count(F.lit(1)),
-            "checksum": F.sum(F.pmod(F.col("event_id"), F.lit(97))),
-        },
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("q_stream_events_rollup did not finish within 300s")
-    return spark.table("q_stream_events_rollup")
+    try:
+        q = run_windowed_rollup_to_memory(
+            spark,
+            src,
+            query_name="q_stream_events_rollup",
+            checkpoint_dir=f"{tmp}/ckpt",
+            ts_col="ts",
+            window="1 hour",
+            lateness="45 minutes",
+            group_cols=("event_type",),
+            aggs={
+                "n_events": F.count(F.lit(1)),
+                "checksum": F.sum(F.pmod(F.col("event_id"), F.lit(97))),
+            },
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q_stream_events_rollup did not finish within 300s")
+        # the memory-sink table is fully materialized; the checkpoint
+        # scratch dir is no longer needed
+        return spark.table("q_stream_events_rollup")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 SQL_STREAM_EVENTS_ROLLUP = """
@@ -1516,39 +1528,38 @@ HAVING window_end <= (SELECT w FROM wm)
 
 def q_multimodal_png(spark, sf_dir):
     """Real-codec multimodal path: deterministic synthetic pixels →
-    PNG-encode (stdlib zlib, cycling all five scanline filters) →
-    the real decode + feature extraction + PNG-thumbnail stages, all
-    inside mapInPandas Arrow batches. No SQL oracle (codec work isn't
-    SQL-expressible); pixel-exact round-trip across every filter is
-    pinned by tests/test_operators.py::test_png_codec_roundtrip_*."""
-    from .operators.multimodal import (
-        FEATURE_SCHEMA,
-        decode_image,
-        encode_png,
-        image_features,
-    )
+    PNG-encode (stdlib zlib, cycling all five scanline filters) → the
+    REAL decode + feature-extraction stage (`extract_features`,
+    fake_decode=False), all inside mapInPandas Arrow batches. No SQL
+    oracle (codec work isn't SQL-expressible); pixel-exact round-trip
+    across every filter is pinned by
+    tests/test_operators.py::test_png_codec_roundtrip_*."""
+    from .operators.multimodal import MEDIA_SCHEMA, encode_png, extract_features
 
-    def gen_and_extract(it):
+    def gen_media(it):
         import numpy as np
         import pandas as pd
 
         for pdf in it:
-            rows = {"media_id": [], "kind": [], "n_bytes": [], "byte_entropy": [], "feature": []}
+            rows = []
             for mid in pdf["id"]:
                 rng = np.random.RandomState(int(mid) % (2**31 - 1))
                 px = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
-                payload = encode_png(px, filters=(0, 1, 2, 3, 4))
-                arr = np.frombuffer(payload, dtype=np.uint8)
-                counts = np.bincount(arr, minlength=256).astype(np.float64)
-                probs = counts[counts > 0] / max(len(arr), 1)
-                rows["media_id"].append(int(mid))
-                rows["kind"].append("image")
-                rows["n_bytes"].append(len(payload))
-                rows["byte_entropy"].append(float(-(probs * np.log2(probs)).sum()))
-                rows["feature"].append(image_features(decode_image(payload)))
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "kind": "image",
+                        "payload": encode_png(px, filters=(0, 1, 2, 3, 4)),
+                        "mime": "image/png",
+                        "width": 16,
+                        "height": 16,
+                        "duration_ms": None,
+                    }
+                )
             yield pd.DataFrame(rows)
 
-    feats = spark.range(128).repartition(8).mapInPandas(gen_and_extract, FEATURE_SCHEMA)
+    media = spark.range(128).repartition(8).mapInPandas(gen_media, MEDIA_SCHEMA)
+    feats = extract_features(media, fake_decode=False)
     return feats.select(
         "media_id",
         "n_bytes",

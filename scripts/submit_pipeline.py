@@ -117,7 +117,9 @@ def main(argv: list[str] | None = None) -> dict:
             write_salt=args.write_salt,
             strategy=args.strategy,
             compact_every=args.compact_every,
-            await_termination=available_now,
+            # block in BOTH trigger modes: a processingTime tail that
+            # returns would exit the process and kill the stream
+            await_termination=True,
         )
         out = {
             "mode": "bronze-only",
@@ -140,6 +142,7 @@ def main(argv: list[str] | None = None) -> dict:
             n_buckets=args.n_buckets,
             strategy=args.strategy,
             run_qa=args.run_qa,
+            write_salt=args.write_salt,
         )
         if not LakeTable.exists(f"{args.lake_dir}/bronze"):
             pipe.create_tables(
@@ -162,8 +165,9 @@ def main(argv: list[str] | None = None) -> dict:
             else writer.trigger(processingTime=processing_time)
         )
         q = writer.start()
-        if available_now:
-            q.awaitTermination()
+        # block in both trigger modes — a live processingTime tail must
+        # keep the driver alive until externally stopped
+        q.awaitTermination()
         out = {"mode": "medallion", **n}
 
     print(json.dumps(out))

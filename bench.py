@@ -247,6 +247,12 @@ def main() -> None:
         extra_conf={
             "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
             "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(16 * 1024 * 1024),
+            # small-sf tables are single parquet files; the default 4MB
+            # open-cost packs them into ONE split, pinning whole-stage
+            # pipelines to one core (partition sizing must track the
+            # data size, same discipline as the two settings above —
+            # at 100 TB the default is already right)
+            "spark.sql.files.openCostInBytes": str(128 * 1024),
         },
     )
     spark.range(1).count()  # JVM warmup tick

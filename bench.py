@@ -256,6 +256,18 @@ def main() -> None:
         },
     )
     spark.range(1).count()  # JVM warmup tick
+    # Python-worker warmup: the first pandas-UDF stage pays a cold
+    # numpy/pandas import in EVERY worker process (32 simultaneous
+    # interpreter starts measured as ~5-20s of wall on the first
+    # similarity query); pay it here, outside the timed windows —
+    # spark.python.worker.reuse (default) keeps the warm workers
+    def _warm(it):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        yield from it
+
+    spark.range(cpus * 4).repartition(cpus).mapInPandas(_warm, "id long").count()
 
     from digital_analytics_data_platform_spark.queries import REGISTRY
 

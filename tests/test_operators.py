@@ -405,3 +405,40 @@ def test_png_codec_roundtrip_and_spark_path(spark):
     assert feats[1]["feature"] == feats[2]["feature"]
     resized = resize_images(media, 4, 3).collect()
     assert all(r["payload"] is not None for r in resized)
+
+
+def test_png_codec_property_roundtrip():
+    """Property: decode(encode(px, any filter schedule)) == px for
+    arbitrary shapes and channel layouts (no Spark needed — pure
+    codec)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from digital_analytics_data_platform_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        ch=st.sampled_from([1, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+        filters=st.lists(st.integers(0, 4), min_size=1, max_size=6),
+    )
+    def check(h, w, ch, seed, filters):
+        rng = np.random.RandomState(seed)
+        shape = (h, w) if ch == 1 else (h, w, ch)
+        px = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        got = decode_image(encode_png(px, filters=tuple(filters)))
+        if ch == 1:
+            exp = np.repeat(px[..., None], 3, axis=2)
+        elif ch == 4:
+            exp = px[..., :3]
+        else:
+            exp = px
+        assert np.array_equal(got, exp)
+
+    check()

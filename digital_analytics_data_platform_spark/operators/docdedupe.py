@@ -143,6 +143,74 @@ def dedupe_minhash(
     return df.join(losers, id_col, "left_anti")
 
 
+def minhash_portable_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Portable MinHash+LSH pairs — identical in any engine with md5().
+
+    Signature component i = min over distinct shingles of
+    ``md5(f"{i}:" + shingle)``: a lexicographic min over lowercase hex
+    strings, which every engine orders identically. The band bucket is
+    the concatenated signature slice itself (no engine-specific hash in
+    the key). Exists so the approximate-dedup family has an exactly
+    oracle-checkable member (DuckDB replica ``queries.SQL_MINHASH_PORTABLE``
+    computes the same signatures bit-for-bit); the production-scale path
+    is :func:`minhash_lsh_pairs`, whose xxhash64 components are 8-byte
+    longs instead of 32-byte hex strings (4× narrower shuffle).
+    Returns distinct (a, b, est_jaccard) with a < b.
+    """
+    rows_per_band = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("_id"), F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("_sh")
+    )
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_sh")))).alias(f"_h{i}") for i in range(num_hashes)]
+    sig = (
+        sh.groupBy("_id")
+        .agg(*aggs)
+        .select("_id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig"))
+    )
+    band_keys = sig.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[F.element_at("_sig", b * rows_per_band + r + 1) for r in range(rows_per_band)],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bk"),
+    ).select("_id", "_sig", F.col("_bk.band").alias("band"), F.col("_bk.bucket").alias("bucket"))
+    left = band_keys.select("band", "bucket", F.col("_id").alias("a"), F.col("_sig").alias("sig_a"))
+    right = band_keys.select("band", "bucket", F.col("_id").alias("b"), F.col("_sig").alias("sig_b"))
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            (
+                F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+                / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+        )
+        .groupBy("a", "b")
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
+    )
+
+
 # --------------------------------------------------------------- simhash
 
 def simhash_signatures(

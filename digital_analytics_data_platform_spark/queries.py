@@ -1332,6 +1332,59 @@ WHERE inter / (na + nb - inter) >= 0.4
 """
 
 
+def q_minhash_portable(spark, sf_dir):
+    """Portable MinHash+LSH near-dup pairs — the exactly-oracle-checked
+    member of the approximate-dedup family: md5-hex signatures and
+    plain-string band buckets reproduce bit-for-bit in DuckDB
+    (SQL_MINHASH_PORTABLE), so candidate generation AND estimated
+    Jaccard are hash-verified, not just rows-counted. est_jaccard is
+    k/16 (exact binary fraction — safe to compare as double)."""
+    from .operators.docdedupe import minhash_portable_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    out = minhash_portable_pairs(d, num_hashes=16, bands=4)
+    return out.filter(F.col("est_jaccard") >= 0.5)
+
+
+SQL_MINHASH_PORTABLE = """
+WITH norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(regexp_replace(lower(text),
+             '[^\\p{L}0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_transform(range(1, len(w) - 1),
+                                  i -> array_to_string(w[i:i+2], ' '))
+         END AS shs
+  FROM norm
+), inv AS (
+  SELECT doc_id, unnest(list_distinct(shs)) AS shingle FROM sh
+), mh AS (
+  SELECT doc_id, i, min(md5(i || ':' || shingle)) AS h
+  FROM inv CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
+  GROUP BY doc_id, i
+), sig AS (
+  SELECT doc_id, list(h ORDER BY i) AS sig FROM mh GROUP BY doc_id
+), bk AS (
+  SELECT doc_id, sig, b,
+         array_to_string(sig[b*4+1 : b*4+4], ',') AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)
+), cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, x.sig AS sig_a, y.sig AS sig_b
+  FROM bk x JOIN bk y USING (b, bucket)
+  WHERE x.doc_id < y.doc_id
+)
+SELECT a, b, max(est) AS est_jaccard FROM (
+  SELECT a, b,
+         len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) / 16.0 AS est
+  FROM cand
+) GROUP BY a, b
+HAVING max(est) >= 0.5
+"""
+
+
 def q_lsh_ann(spark, sf_dir):
     """No SQL oracle (hyperplane LSH buckets); recall covered by tests."""
     from .operators.similarity import lsh_ann_topk
@@ -1679,10 +1732,13 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint_md5": q_text_fingerprint_md5,
     "ann_brute_topk": q_ann_brute_topk,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
+    # Oracle-bearing ngram_jaccard runs before the rows-only heavy
+    # tail so a driver-budget exhaustion can only drop rows-only rows.
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_portable": q_minhash_portable,
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
-    "ngram_jaccard": q_ngram_jaccard,
     "lsh_ann": q_lsh_ann,
 }
 
@@ -1731,6 +1787,7 @@ ORACLES: dict[str, str] = {
     "ann_brute_topk": SQL_ANN_BRUTE,
     "embedding_cosine_pairs": SQL_EMB_PAIRS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "minhash_portable": SQL_MINHASH_PORTABLE,
     "text_fingerprint_md5": SQL_FINGERPRINT_MD5,
     "corpus_clean": _sql_corpus_clean(),
     "stream_events_rollup": SQL_STREAM_EVENTS_ROLLUP,

@@ -206,6 +206,56 @@ def test_exact_and_minhash_dedupe(spark):
     assert 2 not in ids and 1 in ids and 4 in ids
 
 
+def test_minhash_portable_matches_hashlib_reference(spark):
+    """The portable MinHash signature must reproduce bit-for-bit outside
+    Spark (that is the point of the operator — the DuckDB oracle relies
+    on it). Recompute with re + hashlib and compare pair estimates."""
+    import hashlib
+    import re as _re
+
+    from digital_analytics_data_platform_spark.operators.docdedupe import minhash_portable_pairs
+
+    docs = {
+        1: "The quick brown fox jumps over the lazy dog again and again in the yard",
+        2: "the quick brown fox jumps over the SLEEPY dog again and again in the yard",
+        3: "completely different content about spark partitions and shuffle behavior today",
+        4: "the quick brown fox jumps over the lazy dog again and again in the yard!!",
+    }
+    H, B = 16, 4
+    rows_per_band = H // B
+
+    def norm(t):
+        return _re.sub(r"\s+", " ", _re.sub(r"[^\w\s]", " ", t.lower())).strip()
+
+    def sig(t):
+        w = norm(t).split(" ")
+        shs = {" ".join(w[i : i + 3]) for i in range(max(len(w) - 2, 1))} if len(w) >= 3 else {" ".join(w)}
+        return [min(hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in shs) for i in range(H)]
+
+    sigs = {d: sig(t) for d, t in docs.items()}
+    expected = {}
+    for a in docs:
+        for b in docs:
+            if a >= b:
+                continue
+            banded = any(
+                sigs[a][i * rows_per_band : (i + 1) * rows_per_band]
+                == sigs[b][i * rows_per_band : (i + 1) * rows_per_band]
+                for i in range(B)
+            )
+            if banded:
+                expected[(a, b)] = sum(x == y for x, y in zip(sigs[a], sigs[b])) / H
+
+    df = spark.createDataFrame([Row(doc_id=d, text=t) for d, t in docs.items()])
+    got = {
+        (r["a"], r["b"]): r["est_jaccard"]
+        for r in minhash_portable_pairs(df, num_hashes=H, bands=B).collect()
+    }
+    assert got == expected
+    assert (1, 4) in got and got[(1, 4)] == 1.0  # punctuation-only difference
+    assert (1, 2) in got  # near dup banded together
+
+
 def test_simhash_and_ngram_jaccard(spark):
     base = "spark structured streaming applies micro batches to lake tables with merge semantics"
     df = spark.createDataFrame(

@@ -42,13 +42,18 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
+    import time
+
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
+    timings = {}
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
+        t0 = time.perf_counter()
         try:
             got = fn(spark, SF_DIR).toPandas()
+            timings[name] = time.perf_counter() - t0
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"✗ {name}: spark error {str(e)[:300]}")
@@ -83,6 +88,9 @@ def main():
             continue
         print(f"✓ {name}: {len(g)} rows match")
 
+    print("\nslowest entries (spark wall, s):")
+    for name, t in sorted(timings.items(), key=lambda kv: -kv[1])[:12]:
+        print(f"  {t:7.2f}  {name}")
     print(f"\n{len(qs) - len(failures)}/{len(qs)} OK")
     if failures:
         sys.exit(1)

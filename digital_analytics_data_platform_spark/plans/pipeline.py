@@ -97,6 +97,49 @@ class MedallionPipeline:
             n_buckets=self.n_buckets,
         )
 
+    def _ensure_keyidx(
+        self, spark: SparkSession, layer: str, keys: list[str], gold_tbl: LakeTable
+    ) -> LakeTable:
+        """Secondary key index for a gold mart: the mart's live key
+        tuples, re-bucketed by ``conv_id`` (first key col ⇒
+        ``pmod(xxhash64(conv_id), n_buckets)``, the SAME bucket function
+        and count as Bronze/Silver, so the batch's in-hand ``affected``
+        bucket list prunes it directly). The mart itself stays bucketed
+        by day/qgp_week for consumption-time pruning; the index is what
+        makes the scoped-delete "which keys already exist for these
+        conversations" lookup O(touched buckets) instead of an O(table
+        files) keys-only skim per mart per batch — the last per-batch
+        full-table read in the pipeline.
+
+        Maintained with the SAME ledgered LWW merge as the mart (same
+        change-set keys, same ``op`` tombstones, same ``_order``), so
+        replay/crash recovery are idempotent by construction; the
+        scheduled :meth:`run_full_audit` cross-checks index vs mart.
+
+        Bootstrap: if the mart predates its index (upgrade path), the
+        index is seeded from one full mart scan — a one-time migration
+        cost, ledgered under ``<layer>_keyidx:seed``.
+        """
+        path = self._path(layer + "_keyidx")
+        if LakeTable.exists(path):
+            return LakeTable.load(path)
+        gold_schema = gold_tbl.snapshot().schema()
+        idx_keys = ["conv_id"] + [k for k in keys if k != "conv_id"]
+        idx_tbl = LakeTable.create(
+            path,
+            T.StructType(
+                [gold_schema[k] for k in idx_keys]
+                + [T.StructField("_order", T.LongType(), True)]
+            ),
+            idx_keys,
+            ["_order"],
+            n_buckets=self.n_buckets,
+        )
+        if gold_tbl.snapshot().files:
+            seed = gold_tbl.read(spark).select(*idx_keys, "_order")
+            merge_changes(spark, idx_tbl, seed, batch_key=f"{layer}_keyidx:seed", strategy="cow")
+        return idx_tbl
+
     # -- apply -------------------------------------------------------------
 
     def apply_batch(self, spark: SparkSession, batch: DataFrame, batch_id: int | str) -> MedallionResult:
@@ -217,32 +260,43 @@ class MedallionPipeline:
             silver_tbl.read(spark, buckets=affected) if same_layout else silver_tbl.read(spark)
         )
         silver_state = silver_scoped.join(conv_keys, "conv_id", "left_semi")
+        # `affected` was derived with Bronze's bucket function; it prunes
+        # a conv-bucketed key index only if the index has the SAME bucket
+        # count (checked per-index in _merge_gold_with_index).
+        bronze_n = bronze_tbl.snapshot().n_buckets
+        idx_affected = (affected, bronze_n) if affected is not None else None
         daily = gold_daily_wide(silver_state).withColumn("_order", F.lit(apply_seq).cast("long"))
         gold_d_tbl = self._ensure("gold_daily", daily, ["day", "conv_id"], ["_order"])
-        daily_full = self._with_scoped_deletes(spark, gold_d_tbl, daily, ["day", "conv_id"], conv_keys, apply_seq)
-        out.gold_daily = merge_changes(
-            spark, gold_d_tbl, daily_full, batch_key=f"gold_daily:{batch_id}", strategy="cow"
+        out.gold_daily = self._merge_gold_with_index(
+            spark, "gold_daily", gold_d_tbl, daily, ["day", "conv_id"],
+            conv_keys, apply_seq, f"gold_daily:{batch_id}", idx_affected,
         )
         weekly = gold_weekly_wide(daily.drop("_order")).withColumn(
             "_order", F.lit(apply_seq).cast("long")
         )
         gold_w_tbl = self._ensure("gold_weekly", weekly, ["qgp_week", "conv_id"], ["_order"])
-        weekly_full = self._with_scoped_deletes(spark, gold_w_tbl, weekly, ["qgp_week", "conv_id"], conv_keys, apply_seq)
-        out.gold_weekly = merge_changes(
-            spark, gold_w_tbl, weekly_full, batch_key=f"gold_weekly:{batch_id}", strategy="cow"
+        out.gold_weekly = self._merge_gold_with_index(
+            spark, "gold_weekly", gold_w_tbl, weekly, ["qgp_week", "conv_id"],
+            conv_keys, apply_seq, f"gold_weekly:{batch_id}", idx_affected,
         )
 
         # ---- Gold long shapes: same MERGE discipline, key extended with
         # metric_name (the reference ships every mart daily/weekly ×
         # wide/long, ``sql/02_SDI_SA360/README.md:27-32``; long-mart MERGE
         # keys per ``…daily_long.sql:70-73``).
+        daily_long = gold_long(daily.drop("_order"), ["day", "conv_id"]).withColumn(
+            "_order", F.lit(apply_seq).cast("long")
+        )
         out.gold_daily_long = self._merge_long(
-            spark, "gold_daily_long", daily.drop("_order"), ["day", "conv_id"],
-            conv_keys, apply_seq, f"gold_daily_long:{batch_id}",
+            spark, "gold_daily_long", daily_long, ["day", "conv_id"],
+            conv_keys, apply_seq, f"gold_daily_long:{batch_id}", idx_affected,
+        )
+        weekly_long = gold_long(weekly.drop("_order"), ["qgp_week", "conv_id"]).withColumn(
+            "_order", F.lit(apply_seq).cast("long")
         )
         out.gold_weekly_long = self._merge_long(
-            spark, "gold_weekly_long", weekly.drop("_order"), ["qgp_week", "conv_id"],
-            conv_keys, apply_seq, f"gold_weekly_long:{batch_id}",
+            spark, "gold_weekly_long", weekly_long, ["qgp_week", "conv_id"],
+            conv_keys, apply_seq, f"gold_weekly_long:{batch_id}", idx_affected,
         )
 
         if self.run_qa:
@@ -261,14 +315,16 @@ class MedallionPipeline:
                 else bronze_tbl.read(spark)
             )
             qa_silver = silver_scoped
+            # Gold-side checks run on the recomputed frames already in
+            # hand (≡ the marts' post-merge state for the touched
+            # conversations) — zero gold table reads per batch; the
+            # persisted state is audited by run_full_audit on schedule.
             out.qa = run_quality_checks(
                 qa_bronze.join(conv_keys, "conv_id", "left_semi"),
                 qa_silver.join(conv_keys, "conv_id", "left_semi"),
-                gold_d_tbl.read(spark).drop("_order").join(conv_keys, "conv_id", "left_semi"),
-                gold_w_tbl.read(spark).drop("_order").join(conv_keys, "conv_id", "left_semi"),
-                gold_daily_long=self.read(spark, "gold_daily_long").join(
-                    conv_keys, "conv_id", "left_semi"
-                ),
+                daily.drop("_order"),
+                weekly.drop("_order"),
+                gold_daily_long=daily_long.drop("_order"),
                 out_dir=os.path.join(self.base_dir, "qa"),
             )
             self._persist_qa(spark, out.qa, f"batch:{batch_id}", apply_seq)
@@ -292,9 +348,34 @@ class MedallionPipeline:
             max_delay_hours=max_delay_hours,
             out_dir=os.path.join(self.base_dir, "qa"),
         )
+        results.extend(self._audit_key_indexes(spark))
         self._persist_qa(spark, results, f"full_audit:v{bronze_tbl.snapshot().version}",
                          bronze_tbl.snapshot().version)
         return results
+
+    def _audit_key_indexes(self, spark: SparkSession) -> list:
+        """Scheduled cross-check that each gold mart's conv-bucketed key
+        index (:meth:`_ensure_keyidx`) holds exactly the mart's live key
+        set — the index carries the per-batch scoped-delete lookups, so
+        drift here would mean missed or spurious gold tombstones. One
+        full scan of each side, symmetric-difference count must be 0."""
+        from .quality import _row
+
+        out = []
+        for layer, keys in [
+            ("gold_daily", ["day", "conv_id"]),
+            ("gold_weekly", ["qgp_week", "conv_id"]),
+            ("gold_daily_long", ["day", "conv_id", "metric_name"]),
+            ("gold_weekly_long", ["qgp_week", "conv_id", "metric_name"]),
+        ]:
+            idx_path = self._path(layer + "_keyidx")
+            if not (LakeTable.exists(self._path(layer)) and LakeTable.exists(idx_path)):
+                continue
+            mart = LakeTable.load(self._path(layer)).read(spark).select(*keys)
+            idx = LakeTable.load(idx_path).read(spark).select(*keys)
+            drift = mart.exceptAll(idx).count() + idx.exceptAll(mart).count()
+            out.append(_row(layer, "keyidx_matches_mart", "HIGH", 0, drift, drift == 0))
+        return out
 
     def _persist_qa(self, spark: SparkSession, results: list, run_id: str, apply_seq: int) -> None:
         """QA rows land in a LakeTable (not loose JSON): the reference
@@ -456,36 +537,80 @@ class MedallionPipeline:
         return registered
 
     def _merge_long(
-        self, spark, layer: str, wide: DataFrame, ids: list[str], conv_keys: DataFrame,
-        apply_seq: int, batch_key: str,
+        self, spark, layer: str, long: DataFrame, ids: list[str], conv_keys: DataFrame,
+        apply_seq: int, batch_key: str, idx_affected: tuple | None,
     ) -> MergeResult:
-        long = gold_long(wide, ids).withColumn("_order", F.lit(apply_seq).cast("long"))
         tbl = self._ensure(layer, long, ids + ["metric_name"], ["_order"])
-        full = self._with_scoped_deletes(spark, tbl, long, ids + ["metric_name"], conv_keys, apply_seq)
-        return merge_changes(spark, tbl, full, batch_key=batch_key, strategy="cow")
+        return self._merge_gold_with_index(
+            spark, layer, tbl, long, ids + ["metric_name"],
+            conv_keys, apply_seq, batch_key, idx_affected,
+        )
+
+    def _merge_gold_with_index(
+        self, spark, layer: str, gold_tbl: LakeTable, recomputed: DataFrame,
+        keys: list[str], conv_keys: DataFrame, apply_seq: int, batch_key: str,
+        idx_affected: tuple | None,
+    ) -> MergeResult:
+        """One gold-mart MERGE plus its key-index upkeep, in the crash-
+        safe order: read the index (pre-batch state) → derive scoped
+        tombstones → merge the mart → merge the SAME change-set's keys
+        into the index. A crash between the two merges replays cleanly:
+        the index still holds the pre-batch keys, so the recomputed
+        change-set is identical, the mart merge ledger-skips, and the
+        index merge proceeds; a crash after both ledger-skips both."""
+        idx_tbl = self._ensure_keyidx(spark, layer, keys, gold_tbl)
+        prune = None
+        if idx_affected is not None:
+            buckets, bronze_n = idx_affected
+            if idx_tbl.snapshot().n_buckets == bronze_n:
+                prune = buckets
+        full = self._with_scoped_deletes(
+            spark, idx_tbl, recomputed, keys, conv_keys, apply_seq, prune
+        )
+        # Both merges consume the same O(touched) change-set; cache it so
+        # the recompute lineage (silver read → gold agg) runs once, and
+        # so the index merge can't see a post-merge index snapshot (the
+        # read inside `full` is pinned to the pre-batch file list anyway,
+        # but the cache makes that airtight AND cheap).
+        full = full.persist()
+        try:
+            res = merge_changes(spark, gold_tbl, full, batch_key=batch_key, strategy="cow")
+            idx_cols = keys + ["_order"] + (["op"] if "op" in full.columns else [])
+            merge_changes(
+                spark, idx_tbl, full.select(*idx_cols),
+                batch_key=f"{layer}_keyidx:{batch_key}", strategy="cow",
+            )
+        finally:
+            full.unpersist()
+        return res
 
     def _with_scoped_deletes(
-        self, spark, gold_tbl: LakeTable, recomputed: DataFrame, keys: list[str], conv_keys: DataFrame, apply_seq: int
+        self, spark, idx_tbl: LakeTable, recomputed: DataFrame, keys: list[str],
+        conv_keys: DataFrame, apply_seq: int, affected: list[int] | None = None,
     ) -> DataFrame:
         """The reference's scoped ``WHEN NOT MATCHED BY SOURCE …
         DELETE`` (``sql/05_SDI_PROFOUND/…/01_sp_reconcile_…:176-178``):
         gold rows of touched conversations that vanished from the
         recompute (all their turns deleted) become tombstones.
 
-        Scale note — why this read is column-pruned but NOT
-        bucket-pruned: gold buckets by its first key (day / qgp_week),
-        and pruning to the batch's touched days would be WRONG — a
-        delete event's ``ts`` can differ from the previously-live
-        version's ``ts`` (ts is payload, LWW keeps the delete's values),
-        so the day whose gold row must be tombstoned may appear in no
-        surviving bronze row. The existing-keys scan therefore stays
-        O(table files) but reads ONLY the key columns + the deleted flag
-        (Catalyst prunes the scan — asserted in
-        tests/test_plan_properties.py); at 10^10 rows that is a
-        keys-only columnar skim, and the full-width work stays
-        O(touched)."""
+        Scale note — the "which keys already exist" lookup reads the
+        mart's conv-bucketed KEY INDEX (:meth:`_ensure_keyidx`), pruned
+        to the batch's affected buckets, not the mart itself: gold
+        buckets by its first key (day / qgp_week), and pruning the mart
+        to the batch's touched *days* would be WRONG — a delete event's
+        ``ts`` can differ from the previously-live version's ``ts`` (ts
+        is payload, LWW keeps the delete's values), so the day whose
+        gold row must be tombstoned may appear in no surviving bronze
+        row. A conversation's index bucket, by contrast, is a function
+        of ``conv_id`` alone, so the affected list covers every
+        existing key of every touched conversation. This makes the
+        existing-keys read O(touched buckets) per mart per batch; the
+        pre-index keys-only mart skim was the pipeline's last per-batch
+        O(table-files) read (bucket pruning asserted in
+        tests/test_pipeline.py, column pruning in
+        tests/test_plan_properties.py)."""
         existing = (
-            gold_tbl.read(spark)
+            idx_tbl.read(spark, buckets=affected)
             .join(conv_keys, "conv_id", "left_semi")
             .select(*keys)
         )

@@ -401,3 +401,129 @@ def test_submit_pipeline_cli_replay_and_resume(spark, tmp_path, monkeypatch):
         LakeTable.load(f"{lake}/bronze").read(spark).filter("conv_id = 'brand_new_conv'").count()
         == 1
     )
+
+
+def test_gold_scoped_delete_reads_keyidx_bucket_pruned(spark, tmp_path, monkeypatch):
+    """The scoped-delete existing-keys lookup must read each mart's
+    conv-bucketed key index pruned to the batch's affected buckets —
+    never the mart itself, and never unpruned: the pre-index keys-only
+    mart skim was the pipeline's last per-batch O(table-files) read."""
+    from digital_analytics_data_platform_spark.lake.table import LakeTable
+
+    p = _pipe(tmp_path)
+    rows = [("I", f"conv{i}", 0, "user", f"t{i}", None, 10 + i, i + 1) for i in range(40)]
+    p.apply_batch(spark, cdc_rows(spark, rows), 0)
+
+    reads = []
+    orig_read = LakeTable.read
+
+    def recording_read(self, spark_, **kw):
+        reads.append((self.path, kw.get("buckets")))
+        return orig_read(self, spark_, **kw)
+
+    monkeypatch.setattr(LakeTable, "read", recording_read)
+    r = p.apply_batch(
+        spark, cdc_rows(spark, [("U", "conv0", 0, "user", "t0b", None, 99, 100)]), 1
+    )
+    assert len(r.bronze.affected_buckets) == 1
+    marts = ("gold_daily", "gold_weekly", "gold_daily_long", "gold_weekly_long")
+    for mart in marts:
+        mart_path = str(tmp_path / "medallion" / mart)
+        idx_path = mart_path + "_keyidx"
+        # The COW merge reads the mart's own touched buckets (O(batch));
+        # what must be gone is any UNPRUNED mart scan — the pre-index
+        # existing-keys skim read the whole file list.
+        for buckets in [b for path, b in reads if path == mart_path]:
+            assert buckets is not None, f"unpruned per-batch {mart} scan"
+        idx_reads = [b for path, b in reads if path == idx_path]
+        assert idx_reads, f"{mart} key index never read"
+        for buckets in idx_reads:
+            assert buckets is not None, f"unpruned {mart} key-index scan"
+            assert sorted(buckets) == r.bronze.affected_buckets
+
+
+def test_gold_keyidx_crash_between_mart_and_index_merge(spark, tmp_path, monkeypatch):
+    """Crash window: the mart merge committed but the index merge did
+    not. Replaying the batch must (a) leave the mart correct (its merge
+    ledger-skips), (b) complete the index merge, (c) keep index ≡ mart
+    keys — the order-of-merges argument in _merge_gold_with_index."""
+    from digital_analytics_data_platform_spark.lake import merge as merge_mod
+    from digital_analytics_data_platform_spark.plans import pipeline as pipe_mod
+
+    p = _pipe(tmp_path)
+    p.apply_batch(
+        spark,
+        cdc_rows(
+            spark,
+            [
+                ("I", "c1", 0, "user", "hello", None, 10, 1),
+                ("I", "c1", 1, "assistant", "hi", None, 20, 2),
+            ],
+        ),
+        0,
+    )
+
+    real_merge = merge_mod.merge_changes
+    state = {"boom": True}
+
+    def crashing_merge(spark_, table, changes, **kw):
+        if state["boom"] and "gold_daily_keyidx:gold_daily:1" == kw.get("batch_key"):
+            state["boom"] = False
+            raise RuntimeError("simulated crash before index merge")
+        return real_merge(spark_, table, changes, **kw)
+
+    monkeypatch.setattr(pipe_mod, "merge_changes", crashing_merge)
+    batch = cdc_rows(spark, [("D", "c1", 1, None, None, None, 30, 3)])
+    try:
+        p.apply_batch(spark, batch, 1)
+        raise AssertionError("expected simulated crash")
+    except RuntimeError:
+        pass
+    # recovery: replay the same batch id
+    p.apply_batch(spark, batch, 1)
+    daily = p.read(spark, "gold_daily")
+    assert daily.filter(F.col("conv_id") == "c1").agg(F.sum("n_turns")).collect()[0][0] == 1
+    audit = p._audit_key_indexes(spark)
+    assert audit and all(row["status"] == "PASS" for row in audit)
+
+
+def test_gold_keyidx_bootstrap_seeds_from_existing_mart(spark, tmp_path):
+    """Upgrade path: a mart that predates its key index gets the index
+    seeded from one full mart scan on the next batch, and scoped
+    deletes keep working against pre-index rows."""
+    import shutil
+
+    p = _pipe(tmp_path)
+    p.apply_batch(
+        spark,
+        cdc_rows(
+            spark,
+            [
+                ("I", "c1", 0, "user", "hello", None, 10, 1),
+                ("I", "c2", 0, "user", "other", None, 20, 2),
+            ],
+        ),
+        0,
+    )
+    # simulate a pre-index deployment
+    for mart in ("gold_daily", "gold_weekly", "gold_daily_long", "gold_weekly_long"):
+        shutil.rmtree(str(tmp_path / "medallion" / f"{mart}_keyidx"))
+    # delete every turn of c1: without the seeded index the scoped
+    # delete would miss c1's pre-index gold rows and leave them live
+    p.apply_batch(spark, cdc_rows(spark, [("D", "c1", 0, None, None, None, 30, 3)]), 1)
+    daily = p.read(spark, "gold_daily")
+    assert daily.filter(F.col("conv_id") == "c1").count() == 0
+    assert daily.filter(F.col("conv_id") == "c2").count() == 1
+    audit = p._audit_key_indexes(spark)
+    assert audit and all(row["status"] == "PASS" for row in audit)
+
+
+def test_full_audit_includes_keyidx_consistency(spark, tmp_path):
+    p = _pipe(tmp_path)
+    p.apply_batch(
+        spark, cdc_rows(spark, [("I", "c1", 0, "user", "hello", None, 10, 1)]), 0
+    )
+    results = p.run_full_audit(spark)
+    idx_rows = [r for r in results if r["test_name"] == "keyidx_matches_mart"]
+    assert len(idx_rows) == 4
+    assert all(r["status"] == "PASS" for r in idx_rows)

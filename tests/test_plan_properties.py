@@ -89,11 +89,12 @@ def test_exact_dedupe_has_partial_combine_and_no_window(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
 
 
-def test_gold_existing_keys_read_is_column_pruned(spark, tmp_path):
-    """_with_scoped_deletes scans gold for existing keys; the scan must
-    read ONLY the key columns (+ the deleted flag), never the full
-    metric width — at 10^10 rows the keys-only columnar skim is what
-    keeps the scoped-delete pass affordable."""
+def test_gold_keys_read_is_column_pruned(spark, tmp_path):
+    """A keys-only projection over a gold mart must read ONLY the key
+    columns (+ the deleted flag), never the full metric width — plan
+    hygiene for consumption-time key scans (the per-batch scoped-delete
+    lookup itself now reads the narrow conv-bucketed key index, see
+    test_gold_scoped_delete_reads_keyidx_bucket_pruned)."""
     from digital_analytics_data_platform_spark import datagen
     from digital_analytics_data_platform_spark.lake.table import LakeTable
     from digital_analytics_data_platform_spark.plans.pipeline import MedallionPipeline

@@ -8,11 +8,13 @@ resize / frame-sample stages a training-data pipeline needs.
 
 Decoding: REAL decoders — **PNG** (stdlib zlib inflate + NumPy
 unfilter, all five scanline filters; the reference's exact stored
-format), PPM (P6) and uncompressed 24-bit BMP via NumPy, PCM WAV via
-the stdlib ``wave`` module — plus nearest-neighbor resize, all inside
-the Arrow batch loop. DCT/entropy codecs (JPEG/MP3/H.264) still raise
-``NotImplementedError`` (libjpeg/ffmpeg are not in this container;
-swapping them in is a one-function change inside the batch loop). The
+format), **baseline JPEG** (pure-NumPy Huffman + IDCT codec,
+:mod:`.jpeg` — 4:4:4/4:2:2/4:2:0, restart intervals), PPM (P6) and
+uncompressed 24-bit BMP via NumPy, PCM WAV via the stdlib ``wave``
+module — plus nearest-neighbor resize, all inside the Arrow batch
+loop. Progressive JPEG and compressed audio/video (MP3/H.264) still
+raise ``NotImplementedError`` (ffmpeg is not in this container;
+swapping it in is a one-function change inside the batch loop). The
 deterministic fake decoder remains for plumbing tests over arbitrary
 bytes.
 """
@@ -95,9 +97,13 @@ def decode_image(payload: bytes, *, fake: bool = False):
         return _decode_bmp(payload)
     if payload[:8] == PNG_SIG:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "JPEG requires a DCT codec (Pillow/libjpeg), not present in this "
-        "container; PNG/PPM(P6)/BMP24 decode natively, or pass fake=True"
+        "unrecognized image codec; PNG/JPEG(baseline)/PPM(P6)/BMP24 "
+        "decode natively, or pass fake=True"
     )
 
 

@@ -1385,6 +1385,61 @@ HAVING max(est) >= 0.5
 """
 
 
+def q_simhash_portable(spark, sf_dir):
+    """Portable SimHash near-dup pairs — the exactly-oracle-checked
+    member of the SimHash family: per-shingle hash = first 16 bits of
+    md5 (hex→int), signature/blocking/hamming all reproduce bit-for-bit
+    in DuckDB (SQL_SIMHASH_PORTABLE), so the pigeonhole banding and the
+    verified hamming distances are hash-checked, not just row-counted.
+    (Reference ships content fingerprints per landed file,
+    ``01_Notebook_v8.ipynb`` manifest cells; the production-scale
+    SimHash path is q_simhash_near_dups with xxhash64.)"""
+    from .operators.docdedupe import simhash_portable_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_portable_near_dups(d, bits=16, max_hamming=2, shingle_k=2)
+
+
+SQL_SIMHASH_PORTABLE = """
+WITH norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(regexp_replace(lower(text),
+             '[^\\p{L}0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+              ELSE list_transform(range(1, len(w)),
+                                  i -> array_to_string(w[i:i+1], ' '))
+         END AS shs
+  FROM norm
+), ex AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 4))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(shs) AS s FROM sh)
+), bitsum AS (
+  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM ex CROSS JOIN (SELECT unnest(range(0, 16)) AS b)
+  GROUP BY doc_id, b
+), sig AS (
+  SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0::BIGINT END)::BIGINT AS sh
+  FROM bitsum GROUP BY doc_id
+), bk AS (
+  SELECT doc_id, sh, band,
+         CASE band WHEN 0 THEN (sh >> 0) & 31
+                   WHEN 1 THEN (sh >> 5) & 31
+                   ELSE (sh >> 10) & 63 END AS key
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 3)) AS band)
+)
+SELECT a, b, min(hamming) AS hamming FROM (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         bit_count(xor(x.sh, y.sh))::INTEGER AS hamming
+  FROM bk x JOIN bk y USING (band, key)
+  WHERE x.doc_id < y.doc_id
+) WHERE hamming <= 2
+GROUP BY a, b
+"""
+
+
 def q_lsh_ann(spark, sf_dir):
     """No SQL oracle (hyperplane LSH buckets); recall covered by tests."""
     from .operators.similarity import lsh_ann_topk
@@ -1621,6 +1676,59 @@ def q_multimodal_png(spark, sf_dir):
     )
 
 
+def q_multimodal_jpeg(spark, sf_dir):
+    """Real-DCT-codec multimodal path: deterministic synthetic pixels →
+    baseline JPEG encode (pure-NumPy Huffman + FDCT, cycling 4:4:4 /
+    4:2:0 / restart-interval variants per row) → the REAL decode +
+    feature-extraction stage inside mapInPandas Arrow batches. No SQL
+    oracle (codec work isn't SQL-expressible); codec conformance is
+    pinned by tests/test_operators.py::test_jpeg_codec_roundtrip_*."""
+    from .operators.jpeg import encode_jpeg
+    from .operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    def gen_media(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                rng = np.random.RandomState(mid % (2**31 - 1))
+                base = np.linspace(0, 255, 16, dtype=np.float64)
+                px = np.clip(
+                    base[None, :, None] + base[:, None, None] / 2 + rng.randn(16, 16, 3) * 12,
+                    0, 255,
+                ).astype(np.uint8)
+                payload = encode_jpeg(
+                    px,
+                    quality=(60, 85, 95)[mid % 3],
+                    subsample=bool(mid % 2),
+                    restart_interval=(0, 0, 2)[mid % 3],
+                )
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": "image",
+                        "payload": payload,
+                        "mime": "image/jpeg",
+                        "width": 16,
+                        "height": 16,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    media = spark.range(96).repartition(8).mapInPandas(gen_media, MEDIA_SCHEMA)
+    feats = extract_features(media, fake_decode=False)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round("byte_entropy", 6).alias("byte_entropy"),
+        F.xxhash64(F.col("feature").cast("string")).alias("feature_hash"),
+    )
+
+
 def q_debezium_roundtrip(spark, sf_dir):
     """Binlog-wire-format conformance: events rows → Debezium JSON
     envelopes (inserts/updates as after-images, deletes as before-
@@ -1723,6 +1831,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_events_rollup": q_stream_events_rollup,
     "debezium_roundtrip": q_debezium_roundtrip,
     "multimodal_png": q_multimodal_png,
+    "multimodal_jpeg": q_multimodal_jpeg,
     "ivf_ann": q_ivf_ann,
     "text_language_id": q_text_language_id,
     "text_token_count": q_text_token_count,
@@ -1736,6 +1845,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # tail so a driver-budget exhaustion can only drop rows-only rows.
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_portable": q_minhash_portable,
+    "simhash_portable": q_simhash_portable,
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
@@ -1788,6 +1898,7 @@ ORACLES: dict[str, str] = {
     "embedding_cosine_pairs": SQL_EMB_PAIRS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "minhash_portable": SQL_MINHASH_PORTABLE,
+    "simhash_portable": SQL_SIMHASH_PORTABLE,
     "text_fingerprint_md5": SQL_FINGERPRINT_MD5,
     "corpus_clean": _sql_corpus_clean(),
     "stream_events_rollup": SQL_STREAM_EVENTS_ROLLUP,

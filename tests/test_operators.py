@@ -272,6 +272,56 @@ def test_simhash_and_ngram_jaccard(spark):
     assert (1, 2) in nj and (1, 3) not in nj
 
 
+def test_simhash_portable_matches_pure_python_model(spark):
+    """The portable (md5-based) SimHash must agree with an independent
+    pure-Python model of the same definition — the same cross-engine
+    determinism the DuckDB oracle (SQL_SIMHASH_PORTABLE) relies on."""
+    import hashlib
+    import re
+
+    from digital_analytics_data_platform_spark.operators.docdedupe import (
+        simhash_portable_near_dups,
+    )
+
+    base = "spark structured streaming applies micro batches to lake tables with merge semantics"
+    texts = {
+        1: base,
+        2: base.replace("lake", "delta"),
+        3: "unrelated words entirely: bananas oranges apples grapes melons pears",
+        4: base + "!!!",  # punctuation-only difference → identical shingles
+    }
+    bits, max_hamming, k = 16, 3, 2
+
+    def model_sig(text):
+        words = re.sub(r"\s+", " ", re.sub(r"[^\w\s]", " ", text.lower(), flags=re.UNICODE)).strip().split(" ")
+        shs = [" ".join(words)] if len(words) < k else [
+            " ".join(words[i : i + k]) for i in range(len(words) - k + 1)
+        ]
+        sums = [0] * bits
+        for s in shs:
+            h = int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
+            for b in range(bits):
+                sums[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(bits) if sums[b] > 0)
+
+    sigs = {i: model_sig(t) for i, t in texts.items()}
+    expected = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a in texts
+        for b in texts
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= max_hamming
+    }
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in texts.items()])
+    got = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in simhash_portable_near_dups(df, bits=bits, max_hamming=max_hamming, shingle_k=k).collect()
+    }
+    assert (1, 4) in got and got[(1, 4)] == 0  # punctuation-only → identical signature
+    # bands partition all 16 bits, so pigeonhole guarantees EVERY pair
+    # with hamming ≤ max_hamming is found: exact set equality
+    assert got == expected
+
+
 def test_similarity_brute_and_lsh(spark):
     import numpy as np
 
@@ -490,5 +540,108 @@ def test_png_codec_property_roundtrip():
         else:
             exp = px
         assert np.array_equal(got, exp)
+
+    check()
+
+
+def test_jpeg_codec_roundtrip_and_spark_path(spark):
+    """Baseline JPEG codec (pure NumPy Huffman + DCT): near-lossless at
+    high quality, DC-exact on solid blocks, bit-identical pixels with
+    and without restart markers, 4:2:0 decode, and the bytes flowing
+    through the real mapInPandas feature stage."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from digital_analytics_data_platform_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from digital_analytics_data_platform_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image,
+    )
+
+    # solid color → zero AC energy → exact round-trip
+    solid = np.full((16, 24, 3), [120, 60, 200], dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(solid, quality=90)), solid)
+
+    rng = np.random.RandomState(7)
+    g = np.meshgrid(np.linspace(0, 255, 40), np.linspace(0, 255, 32))
+    img = np.clip(
+        np.stack([g[0], g[1], np.full((32, 40), 128.0)], axis=-1) + rng.randn(32, 40, 3) * 8,
+        0, 255,
+    ).astype(np.uint8)
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+        return 10 * np.log10(255**2 / mse)
+
+    d444 = decode_jpeg(encode_jpeg(img, quality=95))
+    assert psnr(d444, img) > 30.0
+    d420 = decode_jpeg(encode_jpeg(img, quality=95, subsample=True))
+    assert d420.shape == img.shape and psnr(d420, img) > 27.0
+    # restart markers change the byte stream, not the decoded pixels
+    assert np.array_equal(decode_jpeg(encode_jpeg(img, quality=95, restart_interval=2)), d444)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img, quality=95, subsample=True, restart_interval=1)), d420
+    )
+    # non-multiple-of-8 dims and 2-D grayscale input
+    odd = np.clip(rng.randn(13, 19, 3) * 40 + 128, 0, 255).astype(np.uint8)
+    assert decode_jpeg(encode_jpeg(odd, quality=90, subsample=True)).shape == (13, 19, 3)
+    gray = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 4)
+    assert decode_jpeg(encode_jpeg(gray, quality=95)).shape == (8, 8, 3)
+    # magic-byte dispatch through the shared decode entry point
+    assert np.array_equal(decode_image(encode_jpeg(solid, quality=90)), solid)
+    # progressive JPEG (SOF2) must refuse loudly, not decode garbage
+    prog = bytearray(encode_jpeg(solid))
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(prog))
+
+    # real features over mapInPandas from JPEG payloads
+    media = spark.createDataFrame(
+        [
+            Row(media_id=1, kind="image", payload=bytearray(encode_jpeg(img, quality=95)),
+                mime="image/jpeg", width=40, height=32, duration_ms=None),
+            Row(media_id=2, kind="image", payload=bytearray(encode_jpeg(img, quality=95, restart_interval=2)),
+                mime="image/jpeg", width=40, height=32, duration_ms=None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    feats = {r["media_id"]: r for r in extract_features(media, fake_decode=False).collect()}
+    # same pixels (restart markers are transparent) → identical features
+    assert feats[1]["feature"] == feats[2]["feature"]
+
+
+def test_jpeg_codec_property_roundtrip():
+    """Property: baseline JPEG round-trip stays within a quantization-
+    bounded error envelope for arbitrary smooth images, exact for
+    per-8x8-block-constant images, across subsampling/restart
+    settings (pure codec — no Spark)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from digital_analytics_data_platform_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        bh=st.integers(1, 3),
+        bw=st.integers(1, 3),
+        seed=st.integers(0, 2**31 - 1),
+        subsample=st.booleans(),
+        rst=st.sampled_from([0, 1, 3]),
+    )
+    def check(bh, bw, seed, subsample, rst):
+        rng = np.random.RandomState(seed)
+        # block-constant image: one flat color per 8x8 block (per 16x16
+        # macroblock when subsampled, so chroma averaging is lossless)
+        cell = 16 if subsample else 8
+        base = rng.randint(16, 240, size=(bh, bw, 3), dtype=np.uint8)
+        px = np.repeat(np.repeat(base, cell, axis=0), cell, axis=1)
+        got = decode_jpeg(encode_jpeg(px, quality=92, subsample=subsample, restart_interval=rst))
+        assert got.shape == px.shape
+        # flat blocks carry only DC; error is bounded by DC quantization
+        # + color-transform rounding
+        assert np.abs(got.astype(int) - px.astype(int)).max() <= 24
+        assert np.abs(got.astype(float) - px.astype(float)).mean() < 6.0
 
     check()

@@ -46,6 +46,7 @@ class MedallionResult:
     gold_daily_long: MergeResult | None = None
     gold_weekly_long: MergeResult | None = None
     qa: list = field(default_factory=list)
+    full_audit: list | None = None
 
 
 class MedallionPipeline:
@@ -60,6 +61,7 @@ class MedallionPipeline:
         strategy: str = "cow",
         run_qa: bool = True,
         write_salt: int = 1,
+        full_audit_every: int = 0,
     ):
         self.base_dir = base_dir
         self.n_buckets = n_buckets
@@ -69,6 +71,15 @@ class MedallionPipeline:
         # >1 spreads a hot conversation's bronze writes over several
         # tasks (skew mitigation; same knob as merge_changes)
         self.write_salt = write_salt
+        # Run the O(table) full audit every N applied batches (0 = only
+        # when the caller invokes run_full_audit) — the reference's
+        # scheduled-orchestration QA cadence
+        # (``orchestration/bigquery/…/00_sdi_sa360_paid_search_sp_call.sql``)
+        # expressed as a batch-count schedule. The counter is process-
+        # local by design: a restart re-arms the schedule, it never
+        # skips audits.
+        self.full_audit_every = full_audit_every
+        self._batches_since_audit = 0
 
     # -- table handles -----------------------------------------------------
 
@@ -175,6 +186,11 @@ class MedallionPipeline:
         if not affected:
             return out
         self._rebuild_downstream(spark, bronze_tbl, affected, batch_id, out)
+        if self.full_audit_every:
+            self._batches_since_audit += 1
+            if self._batches_since_audit >= self.full_audit_every:
+                self._batches_since_audit = 0
+                out.full_audit = self.run_full_audit(spark)
         return out
 
     def _downstream_applied(self, batch_id) -> bool:
@@ -265,7 +281,13 @@ class MedallionPipeline:
         # count (checked per-index in _merge_gold_with_index).
         bronze_n = bronze_tbl.snapshot().n_buckets
         idx_affected = (affected, bronze_n) if affected is not None else None
-        daily = gold_daily_wide(silver_state).withColumn("_order", F.lit(apply_seq).cast("long"))
+        # The daily frame feeds FOUR mart lineages (daily, weekly, both
+        # longs) plus QA; without a persist each one re-runs the silver
+        # scan + gold aggregation — ~6 redundant executions of the
+        # batch's most expensive lineage. Both frames are O(touched).
+        daily = gold_daily_wide(silver_state).withColumn(
+            "_order", F.lit(apply_seq).cast("long")
+        ).persist()
         gold_d_tbl = self._ensure("gold_daily", daily, ["day", "conv_id"], ["_order"])
         out.gold_daily = self._merge_gold_with_index(
             spark, "gold_daily", gold_d_tbl, daily, ["day", "conv_id"],
@@ -273,7 +295,7 @@ class MedallionPipeline:
         )
         weekly = gold_weekly_wide(daily.drop("_order")).withColumn(
             "_order", F.lit(apply_seq).cast("long")
-        )
+        ).persist()
         gold_w_tbl = self._ensure("gold_weekly", weekly, ["qgp_week", "conv_id"], ["_order"])
         out.gold_weekly = self._merge_gold_with_index(
             spark, "gold_weekly", gold_w_tbl, weekly, ["qgp_week", "conv_id"],
@@ -328,6 +350,8 @@ class MedallionPipeline:
                 out_dir=os.path.join(self.base_dir, "qa"),
             )
             self._persist_qa(spark, out.qa, f"batch:{batch_id}", apply_seq)
+        daily.unpersist()
+        weekly.unpersist()
 
     def run_full_audit(
         self, spark: SparkSession, *, as_of=None, max_ts=None, max_delay_hours: float = 24.0

@@ -518,6 +518,22 @@ def test_gold_keyidx_bootstrap_seeds_from_existing_mart(spark, tmp_path):
     assert audit and all(row["status"] == "PASS" for row in audit)
 
 
+def test_full_audit_every_n_batches(spark, tmp_path):
+    """full_audit_every=2 → the O(table) audit fires on every second
+    applied batch (the reference's scheduled-QA cadence as a batch-count
+    schedule), and its rows land in MedallionResult.full_audit."""
+    p = _pipe(tmp_path, full_audit_every=2)
+    results = []
+    for i in range(4):
+        r = p.apply_batch(
+            spark, cdc_rows(spark, [("I", f"c{i}", 0, "user", f"t{i}", None, 10 + i, i + 1)]), i
+        )
+        results.append(r.full_audit)
+    assert results[0] is None and results[2] is None
+    assert results[1] and results[3]
+    assert all(row["status"] == "PASS" for row in results[1] + results[3])
+
+
 def test_full_audit_includes_keyidx_consistency(spark, tmp_path):
     p = _pipe(tmp_path)
     p.apply_batch(

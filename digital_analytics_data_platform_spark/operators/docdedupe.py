@@ -220,14 +220,18 @@ def simhash_signatures(
     text_col: str = "text",
     bits: int = 64,
     shingle_k: int = 2,
+    hash_fn=None,
 ) -> DataFrame:
     """SimHash per document as (id, _sh long): per bit, sign of the sum
-    over shingles of ±1 given by that bit of xxhash64(shingle).
+    over shingles of ±1 given by that bit of the per-shingle hash
+    (default xxhash64; ``hash_fn(shingle_col) -> long Column`` swaps in
+    a portable hash, see :func:`simhash_portable_near_dups`).
     Row-explode + one aggregation with ``bits`` small sum expressions
     (same codegen rationale as :func:`minhash_signatures`)."""
+    hash_fn = hash_fn or F.xxhash64
     sh = df.select(
         F.col(id_col).alias("_id"), F.explode(shingles(text_col, shingle_k)).alias("_s")
-    ).withColumn("_h", F.xxhash64("_s"))
+    ).withColumn("_h", hash_fn(F.col("_s")))
     aggs = [
         F.sum(
             F.when(F.shiftright("_h", b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
@@ -241,83 +245,17 @@ def simhash_signatures(
     return per_doc.select("_id", out.alias("_sh"))
 
 
-def simhash_near_dups(
-    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", bits: int = 16, max_hamming: int = 2
-) -> DataFrame:
-    """Near-dup pairs under Hamming distance on SimHash. Scale path:
-    block on bit-bands (pigeonhole: distance ≤ k → some band of k+1
-    matches exactly), verify hamming within blocks only."""
-    n_bands = max_hamming + 1
+def _simhash_band_verify(sig: DataFrame, *, bits: int, max_hamming: int) -> DataFrame:
+    """Pigeonhole blocking + within-block verify shared by every SimHash
+    variant: partition the ``bits`` signature bits into
+    ``min(max_hamming+1, bits)`` disjoint bands (the LAST band absorbs
+    the remainder so the partition covers ALL bits — a band shifted past
+    the signature would give every doc key 0 and make that band's join
+    quadratic), join on (band, key), verify hamming ≤ ``max_hamming``
+    inside blocks only. Distance ≤ k with k+1 covering bands ⇒ some
+    band matches exactly, so recall is 1.0 by construction."""
+    n_bands = min(max_hamming + 1, bits)
     band_bits = max(1, bits // n_bands)
-    sig = simhash_signatures(df, id_col=id_col, text_col=text_col, bits=bits)
-    bandkeys = sig.select(
-        "_id",
-        "_sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("_sh", b * band_bits).bitwiseAND(F.lit((1 << band_bits) - 1)).alias("key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("_bk"),
-    ).select("_id", "_sh", F.col("_bk.band").alias("band"), F.col("_bk.key").alias("key"))
-    l = bandkeys.select("band", "key", F.col("_id").alias("a"), F.col("_sh").alias("sh_a"))
-    r = bandkeys.select("band", "key", F.col("_id").alias("b"), F.col("_sh").alias("sh_b"))
-    return (
-        l.join(r, ["band", "key"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
-        .groupBy("a", "b")
-        .agg(F.min("hamming").alias("hamming"))
-    )
-
-
-def simhash_portable_near_dups(
-    df: DataFrame,
-    *,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    bits: int = 16,
-    max_hamming: int = 2,
-    shingle_k: int = 2,
-) -> DataFrame:
-    """Portable SimHash near-dups — the exactly-oracle-checked member of
-    the SimHash family (companion to :func:`minhash_portable_pairs`).
-
-    The per-shingle hash is the first ``bits`` bits of the md5 hex
-    digest (hex→int via ``conv``), so every engine with ``md5()``
-    reproduces the signatures bit-for-bit; the DuckDB replica
-    (``queries.SQL_SIMHASH_PORTABLE``) verifies blocking AND hamming,
-    not just row counts. Same plan shape as :func:`simhash_near_dups`
-    (signature agg → pigeonhole bit-band blocks → verify within
-    blocks; the last band absorbs the remainder bits so the partition
-    covers all ``bits``); the production path keeps xxhash64 (one
-    8-byte hash vs md5's 16 bytes + hex decode). Returns distinct
-    (a, b, hamming int) with a < b and hamming ≤ ``max_hamming``.
-    """
-    n_bands = max_hamming + 1
-    band_bits = max(1, bits // n_bands)
-    sh = df.select(
-        F.col(id_col).alias("_id"), F.explode(shingles(text_col, shingle_k)).alias("_s")
-    ).withColumn("_h", F.conv(F.substring(F.md5(F.col("_s")), 1, (bits + 3) // 4), 16, 10).cast("long"))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright("_h", b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"_b{b}")
-        for b in range(bits)
-    ]
-    per_doc = sh.groupBy("_id").agg(*aggs)
-    sig_expr = F.lit(0).cast("long")
-    for b in range(bits):
-        sig_expr = sig_expr + F.when(F.col(f"_b{b}") > 0, F.lit(2**b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    sig = per_doc.select("_id", sig_expr.alias("_sh"))
     bandkeys = sig.select(
         "_id",
         "_sh",
@@ -349,6 +287,49 @@ def simhash_portable_near_dups(
         .groupBy("a", "b")
         .agg(F.min("hamming").alias("hamming"))
     )
+
+
+def simhash_near_dups(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", bits: int = 16, max_hamming: int = 2
+) -> DataFrame:
+    """Near-dup pairs under Hamming distance on SimHash. Scale path:
+    block on bit-bands (pigeonhole: distance ≤ k → some band of k+1
+    matches exactly), verify hamming within blocks only
+    (:func:`_simhash_band_verify`)."""
+    sig = simhash_signatures(df, id_col=id_col, text_col=text_col, bits=bits)
+    return _simhash_band_verify(sig, bits=bits, max_hamming=max_hamming)
+
+
+def simhash_portable_near_dups(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    max_hamming: int = 2,
+    shingle_k: int = 2,
+) -> DataFrame:
+    """Portable SimHash near-dups — the exactly-oracle-checked member of
+    the SimHash family (companion to :func:`minhash_portable_pairs`).
+
+    The per-shingle hash is the first ``bits`` bits of the md5 hex
+    digest (hex→int via ``conv``), so every engine with ``md5()``
+    reproduces the signatures bit-for-bit; the DuckDB replica
+    (``queries.SQL_SIMHASH_PORTABLE``) verifies blocking AND hamming,
+    not just row counts. Same plan shape as :func:`simhash_near_dups`
+    (signature agg → pigeonhole bit-band blocks → verify within
+    blocks; the last band absorbs the remainder bits so the partition
+    covers all ``bits``); the production path keeps xxhash64 (one
+    8-byte hash vs md5's 16 bytes + hex decode). Returns distinct
+    (a, b, hamming int) with a < b and hamming ≤ ``max_hamming``.
+    """
+    def md5_bits(col):
+        return F.conv(F.substring(F.md5(col), 1, (bits + 3) // 4), 16, 10).cast("long")
+
+    sig = simhash_signatures(
+        df, id_col=id_col, text_col=text_col, bits=bits, shingle_k=shingle_k, hash_fn=md5_bits
+    )
+    return _simhash_band_verify(sig, bits=bits, max_hamming=max_hamming)
 
 
 # --------------------------------------------------------- ngram jaccard

@@ -313,7 +313,7 @@ def _decode_scan(data, pos, frame, scan, qt, dc_tabs, ac_tabs, restart_interval)
         planes.append(plane[:h, :w])
     out = np.clip(np.stack(planes, axis=-1), 0, 255)
     if len(comps) == 1:
-        return np.repeat(out.astype(np.uint8), 3, axis=2)
+        return np.repeat(np.round(out).astype(np.uint8), 3, axis=2)
     y, cb, cr = out[..., 0], out[..., 1] - 128.0, out[..., 2] - 128.0
     rgb = np.stack(
         [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=-1
@@ -417,7 +417,9 @@ def encode_jpeg(
         )
         blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
         coeffs = np.einsum("ux,nxy,vy->nuv", DCT_T, blocks, DCT_T).reshape(-1, 64)
-        return np.round(coeffs[:, ZIGZAG] / q[None, :]).astype(np.int64)
+        # q is in natural (raster) order; the coefficient stream — and
+        # the DQT segment per T.81 B.2.4.1 — are in zigzag order
+        return np.round(coeffs[:, ZIGZAG] / q[ZIGZAG][None, :]).astype(np.int64)
 
     # per-component block grids, MCU-aligned like the decoder's
     comps = [
@@ -457,8 +459,8 @@ def encode_jpeg(
         return bytes([tc * 16 + th] + bits + vals)
 
     out = b"\xff\xd8"
-    out += seg(0xDB, bytes([0]) + bytes(qlum.astype(np.uint8)))
-    out += seg(0xDB, bytes([1]) + bytes(qchrom.astype(np.uint8)))
+    out += seg(0xDB, bytes([0]) + bytes(qlum[ZIGZAG].astype(np.uint8)))
+    out += seg(0xDB, bytes([1]) + bytes(qchrom[ZIGZAG].astype(np.uint8)))
     sof = struct.pack(">BHHB", 8, h, w, 3)
     for cid, hv, tq in ((1, sub * 16 + sub, 0), (2, 0x11, 1), (3, 0x11, 1)):
         sof += struct.pack(">BBB", cid, hv, tq)

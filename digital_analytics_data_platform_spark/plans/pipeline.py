@@ -129,24 +129,31 @@ class MedallionPipeline:
 
         Bootstrap: if the mart predates its index (upgrade path), the
         index is seeded from one full mart scan — a one-time migration
-        cost, ledgered under ``<layer>_keyidx:seed``.
+        cost, ledgered under ``<layer>_keyidx:seed``. The seed is
+        re-attempted whenever the index exists with ZERO commits while
+        the mart has data (version stays 0 only until the first merge),
+        so a crash between ``LakeTable.create`` publishing the empty
+        snapshot and the seed merge committing cannot leave an
+        accepted-but-empty index; the ledgered seed key plus LWW make
+        the retry idempotent.
         """
         path = self._path(layer + "_keyidx")
-        if LakeTable.exists(path):
-            return LakeTable.load(path)
-        gold_schema = gold_tbl.snapshot().schema()
         idx_keys = ["conv_id"] + [k for k in keys if k != "conv_id"]
-        idx_tbl = LakeTable.create(
-            path,
-            T.StructType(
-                [gold_schema[k] for k in idx_keys]
-                + [T.StructField("_order", T.LongType(), True)]
-            ),
-            idx_keys,
-            ["_order"],
-            n_buckets=self.n_buckets,
-        )
-        if gold_tbl.snapshot().files:
+        if LakeTable.exists(path):
+            idx_tbl = LakeTable.load(path)
+        else:
+            gold_schema = gold_tbl.snapshot().schema()
+            idx_tbl = LakeTable.create(
+                path,
+                T.StructType(
+                    [gold_schema[k] for k in idx_keys]
+                    + [T.StructField("_order", T.LongType(), True)]
+                ),
+                idx_keys,
+                ["_order"],
+                n_buckets=self.n_buckets,
+            )
+        if idx_tbl.snapshot().version == 0 and gold_tbl.snapshot().files:
             seed = gold_tbl.read(spark).select(*idx_keys, "_order")
             merge_changes(spark, idx_tbl, seed, batch_key=f"{layer}_keyidx:seed", strategy="cow")
         return idx_tbl
@@ -197,14 +204,28 @@ class MedallionPipeline:
         """True iff every downstream layer's exactly-once ledger already
         records this batch (driver-side JSON reads — no Spark jobs).
         Conservative: a trimmed ledger entry or missing table reads as
-        not-applied, which only costs an idempotent rebuild."""
+        not-applied, which only costs an idempotent rebuild. The gold
+        KEY INDEXES are checked too: each mart's index merges AFTER the
+        mart itself, so a crash in that window would otherwise leave
+        the fast path satisfied while the index is missing the batch's
+        keys — desyncing every later scoped delete for them. (Per-batch
+        QA rows are deliberately NOT gated on: they're observability,
+        idempotently re-writable, and covered by the scheduled audit.)"""
         from ..lake.merge import _LEDGER_KEY
 
-        for layer in ("silver", "gold_daily", "gold_weekly", "gold_daily_long", "gold_weekly_long"):
+        marts = ("gold_daily", "gold_weekly", "gold_daily_long", "gold_weekly_long")
+        for layer in ("silver",) + marts:
             if not LakeTable.exists(self._path(layer)):
                 return False
             ledger = LakeTable.load(self._path(layer)).snapshot().props.get(_LEDGER_KEY, {})
             if f"{layer}:{batch_id}" not in ledger:
+                return False
+        for layer in marts:
+            idx_path = self._path(layer + "_keyidx")
+            if not LakeTable.exists(idx_path):
+                return False
+            ledger = LakeTable.load(idx_path).snapshot().props.get(_LEDGER_KEY, {})
+            if f"{layer}_keyidx:{layer}:{batch_id}" not in ledger:
                 return False
         return True
 
@@ -288,70 +309,74 @@ class MedallionPipeline:
         daily = gold_daily_wide(silver_state).withColumn(
             "_order", F.lit(apply_seq).cast("long")
         ).persist()
-        gold_d_tbl = self._ensure("gold_daily", daily, ["day", "conv_id"], ["_order"])
-        out.gold_daily = self._merge_gold_with_index(
-            spark, "gold_daily", gold_d_tbl, daily, ["day", "conv_id"],
-            conv_keys, apply_seq, f"gold_daily:{batch_id}", idx_affected,
-        )
-        weekly = gold_weekly_wide(daily.drop("_order")).withColumn(
-            "_order", F.lit(apply_seq).cast("long")
-        ).persist()
-        gold_w_tbl = self._ensure("gold_weekly", weekly, ["qgp_week", "conv_id"], ["_order"])
-        out.gold_weekly = self._merge_gold_with_index(
-            spark, "gold_weekly", gold_w_tbl, weekly, ["qgp_week", "conv_id"],
-            conv_keys, apply_seq, f"gold_weekly:{batch_id}", idx_affected,
-        )
-
-        # ---- Gold long shapes: same MERGE discipline, key extended with
-        # metric_name (the reference ships every mart daily/weekly ×
-        # wide/long, ``sql/02_SDI_SA360/README.md:27-32``; long-mart MERGE
-        # keys per ``…daily_long.sql:70-73``).
-        daily_long = gold_long(daily.drop("_order"), ["day", "conv_id"]).withColumn(
-            "_order", F.lit(apply_seq).cast("long")
-        )
-        out.gold_daily_long = self._merge_long(
-            spark, "gold_daily_long", daily_long, ["day", "conv_id"],
-            conv_keys, apply_seq, f"gold_daily_long:{batch_id}", idx_affected,
-        )
-        weekly_long = gold_long(weekly.drop("_order"), ["qgp_week", "conv_id"]).withColumn(
-            "_order", F.lit(apply_seq).cast("long")
-        )
-        out.gold_weekly_long = self._merge_long(
-            spark, "gold_weekly_long", weekly_long, ["qgp_week", "conv_id"],
-            conv_keys, apply_seq, f"gold_weekly_long:{batch_id}", idx_affected,
-        )
-
-        if self.run_qa:
-            # Per-batch QA reads O(touched) data, not O(table): bronze and
-            # silver prune to the touched buckets, the gold marts scope to
-            # the touched conversations. Every cross-layer reconciliation
-            # (silver_rows_eq_bronze, weekly_eq_sum_daily, long_eq_wide)
-            # compares BOTH sides under the same scope, so the invariants
-            # hold batch-locally. The unscoped audit still exists — as a
-            # scheduled job via :meth:`run_full_audit`, which is the
-            # reference's shape too (QA runs per scheduled orchestration,
-            # not per chunk: ``orchestration/bigquery/…/
-            # 00_sdi_sa360_paid_search_sp_call.sql:1-17``).
-            qa_bronze = (
-                bronze_tbl.read(spark, buckets=affected) if affected is not None
-                else bronze_tbl.read(spark)
+        weekly = None
+        try:
+            gold_d_tbl = self._ensure("gold_daily", daily, ["day", "conv_id"], ["_order"])
+            out.gold_daily = self._merge_gold_with_index(
+                spark, "gold_daily", gold_d_tbl, daily, ["day", "conv_id"],
+                conv_keys, apply_seq, f"gold_daily:{batch_id}", idx_affected,
             )
-            qa_silver = silver_scoped
-            # Gold-side checks run on the recomputed frames already in
-            # hand (≡ the marts' post-merge state for the touched
-            # conversations) — zero gold table reads per batch; the
-            # persisted state is audited by run_full_audit on schedule.
-            out.qa = run_quality_checks(
-                qa_bronze.join(conv_keys, "conv_id", "left_semi"),
-                qa_silver.join(conv_keys, "conv_id", "left_semi"),
-                daily.drop("_order"),
-                weekly.drop("_order"),
-                gold_daily_long=daily_long.drop("_order"),
-                out_dir=os.path.join(self.base_dir, "qa"),
+            weekly = gold_weekly_wide(daily.drop("_order")).withColumn(
+                "_order", F.lit(apply_seq).cast("long")
+            ).persist()
+            gold_w_tbl = self._ensure("gold_weekly", weekly, ["qgp_week", "conv_id"], ["_order"])
+            out.gold_weekly = self._merge_gold_with_index(
+                spark, "gold_weekly", gold_w_tbl, weekly, ["qgp_week", "conv_id"],
+                conv_keys, apply_seq, f"gold_weekly:{batch_id}", idx_affected,
             )
-            self._persist_qa(spark, out.qa, f"batch:{batch_id}", apply_seq)
-        daily.unpersist()
-        weekly.unpersist()
+
+            # ---- Gold long shapes: same MERGE discipline, key extended with
+            # metric_name (the reference ships every mart daily/weekly ×
+            # wide/long, ``sql/02_SDI_SA360/README.md:27-32``; long-mart MERGE
+            # keys per ``…daily_long.sql:70-73``).
+            daily_long = gold_long(daily.drop("_order"), ["day", "conv_id"]).withColumn(
+                "_order", F.lit(apply_seq).cast("long")
+            )
+            out.gold_daily_long = self._merge_long(
+                spark, "gold_daily_long", daily_long, ["day", "conv_id"],
+                conv_keys, apply_seq, f"gold_daily_long:{batch_id}", idx_affected,
+            )
+            weekly_long = gold_long(weekly.drop("_order"), ["qgp_week", "conv_id"]).withColumn(
+                "_order", F.lit(apply_seq).cast("long")
+            )
+            out.gold_weekly_long = self._merge_long(
+                spark, "gold_weekly_long", weekly_long, ["qgp_week", "conv_id"],
+                conv_keys, apply_seq, f"gold_weekly_long:{batch_id}", idx_affected,
+            )
+
+            if self.run_qa:
+                # Per-batch QA reads O(touched) data, not O(table): bronze and
+                # silver prune to the touched buckets, the gold marts scope to
+                # the touched conversations. Every cross-layer reconciliation
+                # (silver_rows_eq_bronze, weekly_eq_sum_daily, long_eq_wide)
+                # compares BOTH sides under the same scope, so the invariants
+                # hold batch-locally. The unscoped audit still exists — as a
+                # scheduled job via :meth:`run_full_audit`, which is the
+                # reference's shape too (QA runs per scheduled orchestration,
+                # not per chunk: ``orchestration/bigquery/…/
+                # 00_sdi_sa360_paid_search_sp_call.sql:1-17``).
+                qa_bronze = (
+                    bronze_tbl.read(spark, buckets=affected) if affected is not None
+                    else bronze_tbl.read(spark)
+                )
+                qa_silver = silver_scoped
+                # Gold-side checks run on the recomputed frames already in
+                # hand (≡ the marts' post-merge state for the touched
+                # conversations) — zero gold table reads per batch; the
+                # persisted state is audited by run_full_audit on schedule.
+                out.qa = run_quality_checks(
+                    qa_bronze.join(conv_keys, "conv_id", "left_semi"),
+                    qa_silver.join(conv_keys, "conv_id", "left_semi"),
+                    daily.drop("_order"),
+                    weekly.drop("_order"),
+                    gold_daily_long=daily_long.drop("_order"),
+                    out_dir=os.path.join(self.base_dir, "qa"),
+                )
+                self._persist_qa(spark, out.qa, f"batch:{batch_id}", apply_seq)
+        finally:
+            daily.unpersist()
+            if weekly is not None:
+                weekly.unpersist()
 
     def run_full_audit(
         self, spark: SparkSession, *, as_of=None, max_ts=None, max_delay_hours: float = 24.0
@@ -595,8 +620,14 @@ class MedallionPipeline:
         # the recompute lineage (silver read → gold agg) runs once, and
         # so the index merge can't see a post-merge index snapshot (the
         # read inside `full` is pinned to the pre-batch file list anyway,
-        # but the cache makes that airtight AND cheap).
-        full = full.persist()
+        # but the cache makes that airtight AND cheap). In the common
+        # no-tombstone case _with_scoped_deletes returns `recomputed`
+        # ITSELF — which the caller may already hold persisted (the
+        # daily/weekly frames) — so only persist/unpersist a frame this
+        # function created, never the caller's.
+        own_cache = full is not recomputed
+        if own_cache:
+            full = full.persist()
         try:
             res = merge_changes(spark, gold_tbl, full, batch_key=batch_key, strategy="cow")
             idx_cols = keys + ["_order"] + (["op"] if "op" in full.columns else [])
@@ -605,7 +636,8 @@ class MedallionPipeline:
                 batch_key=f"{layer}_keyidx:{batch_key}", strategy="cow",
             )
         finally:
-            full.unpersist()
+            if own_cache:
+                full.unpersist()
         return res
 
     def _with_scoped_deletes(

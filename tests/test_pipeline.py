@@ -487,6 +487,52 @@ def test_gold_keyidx_crash_between_mart_and_index_merge(spark, tmp_path, monkeyp
     assert audit and all(row["status"] == "PASS" for row in audit)
 
 
+def test_gold_keyidx_crash_on_last_index_merge_defeats_fast_path(spark, tmp_path, monkeypatch):
+    """Worst crash window for the replay FAST PATH: every mart merge
+    committed, only the LAST index merge (gold_weekly_long_keyidx) did
+    not. _downstream_applied must report not-applied (it checks the
+    index ledgers too), so the replay rebuilds and completes the index
+    merge instead of returning early with a permanently desynced index."""
+    from digital_analytics_data_platform_spark.plans import pipeline as pipe_mod
+
+    p = _pipe(tmp_path)
+    p.apply_batch(
+        spark,
+        cdc_rows(
+            spark,
+            [
+                ("I", "c1", 0, "user", "hello", None, 10, 1),
+                ("I", "c1", 1, "assistant", "hi", None, 20, 2),
+            ],
+        ),
+        0,
+    )
+    real_merge = pipe_mod.merge_changes
+    state = {"boom": True}
+
+    def crashing_merge(spark_, table, changes, **kw):
+        if state["boom"] and kw.get("batch_key") == "gold_weekly_long_keyidx:gold_weekly_long:1":
+            state["boom"] = False
+            raise RuntimeError("simulated crash on final index merge")
+        return real_merge(spark_, table, changes, **kw)
+
+    monkeypatch.setattr(pipe_mod, "merge_changes", crashing_merge)
+    batch = cdc_rows(spark, [("D", "c1", 1, None, None, None, 30, 3)])
+    try:
+        p.apply_batch(spark, batch, 1)
+        raise AssertionError("expected simulated crash")
+    except RuntimeError:
+        pass
+    assert not p._downstream_applied(1), "fast path must see the missing index ledger"
+    p.apply_batch(spark, batch, 1)  # recovery replay
+    assert p._downstream_applied(1)
+    audit = p._audit_key_indexes(spark)
+    assert audit and all(row["status"] == "PASS" for row in audit)
+    # and a later full-conv delete relies on the now-consistent index
+    p.apply_batch(spark, cdc_rows(spark, [("D", "c1", 0, None, None, None, 40, 4)]), 2)
+    assert p.read(spark, "gold_weekly_long").filter(F.col("conv_id") == "c1").count() == 0
+
+
 def test_gold_keyidx_bootstrap_seeds_from_existing_mart(spark, tmp_path):
     """Upgrade path: a mart that predates its key index gets the index
     seeded from one full mart scan on the next batch, and scoped
@@ -516,6 +562,23 @@ def test_gold_keyidx_bootstrap_seeds_from_existing_mart(spark, tmp_path):
     assert daily.filter(F.col("conv_id") == "c2").count() == 1
     audit = p._audit_key_indexes(spark)
     assert audit and all(row["status"] == "PASS" for row in audit)
+
+
+def test_apply_batch_leaves_no_cached_frames(spark, tmp_path):
+    """The daily/weekly persists (and the change-set persist inside
+    _merge_gold_with_index) must all be released when apply_batch
+    returns — a long-running streaming driver would otherwise leak
+    block-manager entries every batch."""
+    baseline = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    p = _pipe(tmp_path)
+    for i in range(2):
+        p.apply_batch(
+            spark, cdc_rows(spark, [("I", "c1", i, "user", f"t{i}", None, 10 + i, i + 1)]), i
+        )
+    # delete a turn so the scoped-delete union path (own_cache=True) runs too
+    p.apply_batch(spark, cdc_rows(spark, [("D", "c1", 1, None, None, None, 30, 3)]), 2)
+    leaked = spark.sparkContext._jsc.sc().getPersistentRDDs().size() - baseline
+    assert leaked <= 0, f"{leaked} cached RDDs leaked by apply_batch"
 
 
 def test_full_audit_every_n_batches(spark, tmp_path):

@@ -1520,6 +1520,110 @@ FROM cand c JOIN kept USING (doc_id)
 """
 
 
+def q_corpus_prep(spark, sf_dir):
+    """End-to-end training-data prep, FULLY oracle-checked: the
+    corpus_clean pass (language + quality + exact dedupe) → NEAR-DUP
+    removal via the portable md5 MinHash+LSH pairs (est_jaccard ≥ 0.5,
+    drop the larger doc_id of each candidate pair — a deterministic,
+    SQL-reproducible keep rule; the transitive greedy variant is
+    ``dedupe_minhash``, pytest-covered) → token-count gate. Every stage
+    reproduces bit-for-bit in DuckDB (SQL_CORPUS_PREP), so the judge's
+    hash compare covers the WHOLE prep pipeline, not just its pieces.
+    Plan shape: one scan feeds clean+norm, hash-agg exact dedupe,
+    signature agg + banded join for near-dups — never all-pairs."""
+    from .operators.docdedupe import minhash_portable_pairs
+    from .operators.text import language_id, normalize_text, quality_score, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    cand = (
+        quality_score(d.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            "text",
+            language_id("text").alias("lang"),
+            normalize_text(F.col("text")).alias("norm"),
+            "q_score",
+        )
+        .filter((F.col("lang") == "en") & (F.col("q_score") >= 0.5))
+    )
+    kept_ids = cand.groupBy("norm").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    exact = cand.join(kept_ids, "doc_id", "left_semi")
+    pairs = minhash_portable_pairs(
+        exact.select("doc_id", "text"), num_hashes=16, bands=4
+    ).filter(F.col("est_jaccard") >= 0.5)
+    dropped = pairs.select(F.col("b").alias("doc_id")).distinct()
+    return (
+        exact.join(dropped, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "lang",
+            F.round("q_score", 6).alias("q_score"),
+            token_count("text").alias("n_tokens"),
+        )
+        .filter((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 20000))
+    )
+
+
+def _sql_corpus_prep() -> str:
+    lang_cte = _duck_lang_sql().strip().rstrip(";")
+    quality_body = SQL_QUALITY.strip()
+    return f"""
+WITH q AS ({quality_body}),
+l AS ({lang_cte}),
+normt AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text),
+             '[^\\p{{L}}0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+cand AS (
+  SELECT q.doc_id, l.lang_guess AS lang, q.q_score, normt.norm
+  FROM q JOIN l USING (doc_id) JOIN normt USING (doc_id)
+  WHERE l.lang_guess = 'en' AND q.q_score >= 0.5
+),
+kept AS (SELECT min(doc_id) AS doc_id FROM cand GROUP BY norm),
+exact AS (SELECT c.* FROM cand c JOIN kept USING (doc_id)),
+w AS (SELECT doc_id, string_split(norm, ' ') AS w FROM exact),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_transform(range(1, len(w) - 1),
+                                  i -> array_to_string(w[i:i+2], ' '))
+         END AS shs
+  FROM w
+),
+inv AS (SELECT doc_id, unnest(list_distinct(shs)) AS shingle FROM sh),
+mh AS (
+  SELECT doc_id, i, min(md5(i || ':' || shingle)) AS h
+  FROM inv CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
+  GROUP BY doc_id, i
+),
+sig AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+bk AS (
+  SELECT doc_id, sig, b,
+         array_to_string(sig[b*4+1 : b*4+4], ',') AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)
+),
+pairs AS (
+  SELECT a, b FROM (
+    SELECT x.doc_id AS a, y.doc_id AS b,
+           len(list_filter(range(1, 17), i -> x.sig[i] = y.sig[i])) / 16.0 AS est
+    FROM bk x JOIN bk y USING (b, bucket)
+    WHERE x.doc_id < y.doc_id
+  ) GROUP BY a, b HAVING max(est) >= 0.5
+),
+tok AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[\\p{{L}}]+|[0-9]+|[^\\s\\p{{L}}0-9]')) AS n_tokens
+  FROM documents
+)
+SELECT e.doc_id, e.lang, round(e.q_score, 6) AS q_score, tok.n_tokens
+FROM exact e JOIN tok USING (doc_id)
+WHERE e.doc_id NOT IN (SELECT b FROM pairs)
+  AND tok.n_tokens BETWEEN 10 AND 20000
+"""
+
+
 def q_stream_windowed_rollup(spark, sf_dir):
     """§2.9 watermarked tumbling-window rollup, driven availableNow over
     parquet log segments (one per micro-batch) into a memory sink; the
@@ -1826,6 +1930,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # registry tail) — they now run BEFORE the heavy approximate-dedup
     # sweep so their rows always materialize.
     "corpus_clean": q_corpus_clean,
+    "corpus_prep": q_corpus_prep,
     "multimodal_features": q_multimodal_features,
     "stream_windowed_rollup": q_stream_windowed_rollup,
     "stream_events_rollup": q_stream_events_rollup,
@@ -1901,6 +2006,7 @@ ORACLES: dict[str, str] = {
     "simhash_portable": SQL_SIMHASH_PORTABLE,
     "text_fingerprint_md5": SQL_FINGERPRINT_MD5,
     "corpus_clean": _sql_corpus_clean(),
+    "corpus_prep": _sql_corpus_prep(),
     "stream_events_rollup": SQL_STREAM_EVENTS_ROLLUP,
     "debezium_roundtrip": SQL_DEBEZIUM_ROUNDTRIP,
 }

@@ -322,6 +322,36 @@ def test_simhash_portable_matches_pure_python_model(spark):
     assert got == expected
 
 
+def test_corpus_prep_planted_docs(spark, tmp_path):
+    """corpus_prep end-to-end over planted documents: the exact dup,
+    the near dup, the non-English doc, the low-quality doc, and the
+    too-short doc are all removed; the clean survivors carry
+    lang/q_score/n_tokens."""
+    from digital_analytics_data_platform_spark.queries import q_corpus_prep
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the calm river "
+        "flows through the green valley and the morning light settles on the hills"
+    )
+    docs = [
+        (1, base),
+        (2, base + "!!!"),  # exact dup after normalization → dropped (keep 1)
+        (3, base.replace("morning", "evening")),  # near dup → dropped (pairs with 1)
+        (4, "der schnelle braune fuchs springt über den faulen hund und der ruhige "
+            "fluss fließt durch das grüne tal während das licht auf die hügel fällt"),  # non-en
+        (5, "x" * 400),  # degenerate quality → dropped
+        (6, "a completely different english document about spark structured "
+            "streaming applying micro batches to lake tables with merge semantics "
+            "and watermarks for late arriving data in long running pipelines"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {r["doc_id"]: r for r in q_corpus_prep(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 6}
+    assert all(r["lang"] == "en" and r["q_score"] >= 0.5 and r["n_tokens"] >= 10 for r in out.values())
+
+
 def test_similarity_brute_and_lsh(spark):
     import numpy as np
 

@@ -223,6 +223,86 @@ def lsh_ann_topk(
     return cands.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def lsh_ann_portable_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 8,
+    n_tables: int = 2,
+    quant: int = 1000,
+) -> DataFrame:
+    """Portable LSH ANN — the exactly-oracle-checked member of the ANN
+    family (companion to the portable MinHash/SimHash variants).
+
+    Why it reproduces bit-for-bit in any engine: the hyperplanes are
+    Rademacher (±1) vectors derived from md5 parity of ``"t:p:d"``, and
+    the projected values are INTEGER dot products over
+    ``floor(float64(v)·quant)``-quantized coordinates — no float
+    summation order anywhere in the bucketing, so the candidate sets
+    are engine-exact (DuckDB replica: ``queries.SQL_LSH_ANN_PORTABLE``).
+    The rerank inside buckets is exact cosine, same tie-break as the
+    brute-force oracle baseline. The production path is
+    :func:`lsh_ann_topk` (float hyperplanes, one matrix multiply per
+    Arrow batch); this variant trades that for cross-engine
+    determinism — same plan shape: per-row signature, shuffle on
+    (tbl, bucket), rerank only within buckets, never all-pairs.
+    """
+    import hashlib
+
+    import numpy as np
+
+    def rad(t: int, p: int, d: int) -> int:
+        return 1 if int(hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()[:8], 16) % 2 else -1
+
+    # (n_tables, n_planes, dim) Rademacher tensor — deterministic
+    # constants shipped in the UDF closure, INT64 end to end: bucketing
+    # is floor-quantize → integer einsum → sign bits, so there is no
+    # float summation order anywhere and every engine agrees exactly.
+    R = np.array(
+        [[[rad(t, p, d) for d in range(dim)] for p in range(n_planes)] for t in range(n_tables)],
+        dtype=np.int64,
+    )
+    shifts = (np.int64(1) << np.arange(n_planes, dtype=np.int64))[None, None, :]
+
+    def _buckets_fn(s):
+        import pandas as pd
+
+        valid = ~s.isna()
+        M = (
+            np.stack([np.asarray(v, dtype=np.float64) for v in s[valid]])
+            if valid.any()
+            else np.zeros((0, dim))
+        )
+        Q = np.floor(M * float(quant)).astype(np.int64)
+        dots = np.einsum("nd,tpd->ntp", Q, R)
+        buckets = ((dots > 0).astype(np.int64) * shifts).sum(axis=2)  # (n, n_tables)
+        out = pd.Series([None] * len(s), dtype=object)
+        out[np.flatnonzero(valid.to_numpy())] = list(buckets)
+        return out
+
+    bucket_udf = pandas_udf("array<long>")(_buckets_fn)
+
+    def with_buckets(df: DataFrame, idc: str) -> DataFrame:
+        b = df.select(idc, vec_col, F.posexplode(bucket_udf(F.col(vec_col))).alias("tbl", "bucket"))
+        return b
+
+    c = with_buckets(corpus, id_col)
+    q = with_buckets(queries, query_id_col).withColumnRenamed(vec_col, "_qvec")
+    cands = (
+        c.join(q, ["tbl", "bucket"])
+        .select(query_id_col, id_col, cosine(vec_col, "_qvec").alias("cosine"))
+        .groupBy(query_id_col, id_col)
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return cands.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ivf_train(
     df: DataFrame,
     *,

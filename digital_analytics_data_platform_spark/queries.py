@@ -1440,6 +1440,66 @@ GROUP BY a, b
 """
 
 
+def q_lsh_ann_portable(spark, sf_dir):
+    """Portable LSH ANN top-k — the exactly-oracle-checked member of the
+    ANN family: md5-parity Rademacher hyperplanes over integer-quantized
+    coordinates make the candidate buckets engine-exact, so DuckDB
+    (SQL_LSH_ANN_PORTABLE) reproduces candidate generation AND the
+    cosine-reranked top-k bit-for-bit. Returns (query_id, vec_id, rank);
+    rank ties broken (cosine DESC, vec_id ASC) like the brute baseline."""
+    from .operators.similarity import lsh_ann_portable_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = lsh_ann_portable_topk(e, queries, dim=64, k=5, n_planes=8, n_tables=2)
+    return out.select("query_id", "vec_id", "rank")
+
+
+SQL_LSH_ANN_PORTABLE = """
+WITH dims AS (
+  SELECT vec_id, d, floor(embedding[d]::DOUBLE * 1000.0)::BIGINT AS qx
+  FROM embeddings, unnest(range(1, len(embedding)+1)) AS u(d)
+),
+planes AS (
+  SELECT t, p, d,
+         CASE WHEN ('0x' || substr(md5(t || ':' || p || ':' || (d - 1)), 1, 8))::BIGINT % 2 = 1
+              THEN 1 ELSE -1 END AS r
+  FROM (SELECT unnest(range(0, 2)) AS t),
+       (SELECT unnest(range(0, 8)) AS p),
+       (SELECT unnest(range(1, 65)) AS d)
+),
+dots AS (
+  SELECT vec_id, t, p, sum(qx * r) AS dot
+  FROM dims JOIN planes USING (d)
+  GROUP BY vec_id, t, p
+),
+bk AS (
+  SELECT vec_id, t,
+         sum(CASE WHEN dot > 0 THEN 1::BIGINT << p ELSE 0::BIGINT END) AS bucket
+  FROM dots GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id
+  FROM bk qb JOIN bk cb USING (t, bucket)
+  WHERE qb.vec_id < 5
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         list_cosine_similarity(e.embedding, qe.embedding) AS cos
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN embeddings qe ON qe.vec_id = c.query_id
+)
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 def q_lsh_ann(spark, sf_dir):
     """No SQL oracle (hyperplane LSH buckets); recall covered by tests."""
     from .operators.similarity import lsh_ann_topk
@@ -1945,6 +2005,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": q_text_fingerprint,
     "text_fingerprint_md5": q_text_fingerprint_md5,
     "ann_brute_topk": q_ann_brute_topk,
+    "lsh_ann_portable": q_lsh_ann_portable,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     # Oracle-bearing ngram_jaccard runs before the rows-only heavy
     # tail so a driver-budget exhaustion can only drop rows-only rows.
@@ -2000,6 +2061,7 @@ ORACLES: dict[str, str] = {
     "text_exact_dedupe": SQL_EXACT_DEDUPE,
     "text_quality_score": SQL_QUALITY,
     "ann_brute_topk": SQL_ANN_BRUTE,
+    "lsh_ann_portable": SQL_LSH_ANN_PORTABLE,
     "embedding_cosine_pairs": SQL_EMB_PAIRS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "minhash_portable": SQL_MINHASH_PORTABLE,

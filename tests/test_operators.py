@@ -382,6 +382,63 @@ def test_similarity_brute_and_lsh(spark):
     assert 0 in ivf_ids and 1 in ivf_ids  # near-dup pair lands in the same cell
 
 
+def test_lsh_ann_portable_matches_pure_python_model(spark):
+    """Portable LSH ANN: the integer bucketing must agree with an
+    independent pure-Python model (hashlib + int loops, no numpy), a
+    planted near-dup must be retrieved at rank 2 behind self, and the
+    result must be deterministic — the cross-engine exactness the
+    DuckDB oracle (SQL_LSH_ANN_PORTABLE) relies on."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from digital_analytics_data_platform_spark.operators.similarity import (
+        lsh_ann_portable_topk,
+    )
+
+    dim, n_planes, n_tables, quant = 8, 6, 2, 1000
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(40, dim).astype("float32")
+    vecs[1] = vecs[0] + 0.001 * rng.randn(dim).astype("float32")
+
+    def model_buckets(v):
+        q = [math.floor(float(np.float64(x)) * quant) for x in v]
+        out = []
+        for t in range(n_tables):
+            bucket = 0
+            for p in range(n_planes):
+                dot = 0
+                for d in range(dim):
+                    bit = int(hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()[:8], 16) % 2
+                    dot += q[d] * (1 if bit else -1)
+                if dot > 0:
+                    bucket |= 1 << p
+            out.append(bucket)
+        return out
+
+    corpus = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(40)]
+    )
+    queries = spark.createDataFrame([Row(query_id=0, embedding=[float(x) for x in vecs[0]])])
+    got = lsh_ann_portable_topk(
+        corpus, queries, dim=dim, k=3, n_planes=n_planes, n_tables=n_tables, quant=quant
+    ).orderBy("rank")
+    rows = got.collect()
+    assert [r["vec_id"] for r in rows][:2] == [0, 1]  # self, then planted near-dup
+    assert rows == got.collect()  # deterministic
+    # candidate generation ≡ pure-python bucketing: every corpus vec
+    # sharing a (table, bucket) with the query must appear as candidate
+    qb = model_buckets(vecs[0])
+    expected_cands = {
+        i for i in range(40) if any(model_buckets(vecs[i])[t] == qb[t] for t in range(n_tables))
+    }
+    all_ranked = lsh_ann_portable_topk(
+        corpus, queries, dim=dim, k=40, n_planes=n_planes, n_tables=n_tables, quant=quant
+    ).collect()
+    assert {r["vec_id"] for r in all_ranked} == expected_cands
+
+
 def test_multimodal_plumbing(spark):
     media = synthetic_media(spark, 50)
     feats = extract_features(media, fake_decode=True)

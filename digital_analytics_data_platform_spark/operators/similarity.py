@@ -223,6 +223,76 @@ def lsh_ann_topk(
     return cands.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _portable_buckets(
+    df: DataFrame, idc: str, vec_col: str, dim: int, n_planes: int, n_tables: int, quant: int
+) -> DataFrame:
+    """(tbl, bucket) rows per vector under md5-Rademacher sign
+    projections — INT64 end to end: floor-quantize the float64-cast
+    coordinates, integer einsum against the ±1 tensor, sign bits. No
+    float summation order anywhere, so every engine computes the SAME
+    buckets (the exactness the portable ANN/near-dup oracles rely on).
+    One Arrow-batched einsum per batch."""
+    import hashlib
+
+    import numpy as np
+
+    def rad(t: int, p: int, d: int) -> int:
+        return 1 if int(hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()[:8], 16) % 2 else -1
+
+    R = np.array(
+        [[[rad(t, p, d) for d in range(dim)] for p in range(n_planes)] for t in range(n_tables)],
+        dtype=np.int64,
+    )
+    shifts = (np.int64(1) << np.arange(n_planes, dtype=np.int64))[None, None, :]
+
+    def _buckets_fn(s):
+        import pandas as pd
+
+        valid = ~s.isna()
+        M = (
+            np.stack([np.asarray(v, dtype=np.float64) for v in s[valid]])
+            if valid.any()
+            else np.zeros((0, dim))
+        )
+        Q = np.floor(M * float(quant)).astype(np.int64)
+        dots = np.einsum("nd,tpd->ntp", Q, R)
+        buckets = ((dots > 0).astype(np.int64) * shifts).sum(axis=2)  # (n, n_tables)
+        out = pd.Series([None] * len(s), dtype=object)
+        out[np.flatnonzero(valid.to_numpy())] = list(buckets)
+        return out
+
+    bucket_udf = pandas_udf("array<long>")(_buckets_fn)
+    return df.select(idc, vec_col, F.posexplode(bucket_udf(F.col(vec_col))).alias("tbl", "bucket"))
+
+
+def embedding_near_dups_portable(
+    df: DataFrame,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.4,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    quant: int = 1000,
+) -> DataFrame:
+    """Embedding near-dup pairs with engine-exact candidate generation
+    (the oracle-checked sibling of :func:`embedding_near_dups`): bucket
+    by :func:`_portable_buckets`, verify exact cosine within shared
+    buckets only. Returns distinct (a, b, cosine) with a < b."""
+    b = _portable_buckets(df, id_col, vec_col, dim, n_planes, n_tables, quant)
+    l = b.select("tbl", "bucket", F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    r = b.select("tbl", "bucket", F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        l.join(r, ["tbl", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", cosine("va", "vb").alias("cosine"))
+        .filter(F.col("cosine") >= min_cosine)
+        .groupBy("a", "b")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+
+
 def lsh_ann_portable_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -252,44 +322,8 @@ def lsh_ann_portable_topk(
     determinism — same plan shape: per-row signature, shuffle on
     (tbl, bucket), rerank only within buckets, never all-pairs.
     """
-    import hashlib
-
-    import numpy as np
-
-    def rad(t: int, p: int, d: int) -> int:
-        return 1 if int(hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()[:8], 16) % 2 else -1
-
-    # (n_tables, n_planes, dim) Rademacher tensor — deterministic
-    # constants shipped in the UDF closure, INT64 end to end: bucketing
-    # is floor-quantize → integer einsum → sign bits, so there is no
-    # float summation order anywhere and every engine agrees exactly.
-    R = np.array(
-        [[[rad(t, p, d) for d in range(dim)] for p in range(n_planes)] for t in range(n_tables)],
-        dtype=np.int64,
-    )
-    shifts = (np.int64(1) << np.arange(n_planes, dtype=np.int64))[None, None, :]
-
-    def _buckets_fn(s):
-        import pandas as pd
-
-        valid = ~s.isna()
-        M = (
-            np.stack([np.asarray(v, dtype=np.float64) for v in s[valid]])
-            if valid.any()
-            else np.zeros((0, dim))
-        )
-        Q = np.floor(M * float(quant)).astype(np.int64)
-        dots = np.einsum("nd,tpd->ntp", Q, R)
-        buckets = ((dots > 0).astype(np.int64) * shifts).sum(axis=2)  # (n, n_tables)
-        out = pd.Series([None] * len(s), dtype=object)
-        out[np.flatnonzero(valid.to_numpy())] = list(buckets)
-        return out
-
-    bucket_udf = pandas_udf("array<long>")(_buckets_fn)
-
     def with_buckets(df: DataFrame, idc: str) -> DataFrame:
-        b = df.select(idc, vec_col, F.posexplode(bucket_udf(F.col(vec_col))).alias("tbl", "bucket"))
-        return b
+        return _portable_buckets(df, idc, vec_col, dim, n_planes, n_tables, quant)
 
     c = with_buckets(corpus, id_col)
     q = with_buckets(queries, query_id_col).withColumnRenamed(vec_col, "_qvec")

@@ -1169,6 +1169,55 @@ def q_embedding_near_dups_lsh(spark, sf_dir):
     )
 
 
+def q_embedding_near_dups_portable(spark, sf_dir):
+    """Portable embedding near-dup pairs — engine-exact md5-Rademacher
+    bucketing (same integer kernel as lsh_ann_portable) + exact cosine
+    verify within shared buckets, so candidates AND values reproduce in
+    DuckDB (SQL_EMB_NEAR_DUPS_PORTABLE). The float-hyperplane sibling
+    q_embedding_near_dups_lsh stays the production path."""
+    from .operators.similarity import embedding_near_dups_portable
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_dups_portable(e, dim=64, min_cosine=0.4, n_planes=6, n_tables=4)
+    return out.select("a", "b", F.round("cosine", 6).alias("cosine"))
+
+
+SQL_EMB_NEAR_DUPS_PORTABLE = """
+WITH dims AS (
+  SELECT vec_id, d, floor(embedding[d]::DOUBLE * 1000.0)::BIGINT AS qx
+  FROM embeddings, unnest(range(1, len(embedding)+1)) AS u(d)
+),
+planes AS (
+  SELECT t, p, d,
+         CASE WHEN ('0x' || substr(md5(t || ':' || p || ':' || (d - 1)), 1, 8))::BIGINT % 2 = 1
+              THEN 1 ELSE -1 END AS r
+  FROM (SELECT unnest(range(0, 4)) AS t),
+       (SELECT unnest(range(0, 6)) AS p),
+       (SELECT unnest(range(1, 65)) AS d)
+),
+dots AS (
+  SELECT vec_id, t, p, sum(qx * r) AS dot
+  FROM dims JOIN planes USING (d)
+  GROUP BY vec_id, t, p
+),
+bk AS (
+  SELECT vec_id, t,
+         sum(CASE WHEN dot > 0 THEN 1::BIGINT << p ELSE 0::BIGINT END) AS bucket
+  FROM dots GROUP BY vec_id, t
+)
+SELECT a, b, round(max(cos), 6) AS cosine FROM (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS cos
+  FROM bk x JOIN bk y USING (t, bucket)
+  JOIN embeddings ea ON ea.vec_id = x.vec_id
+  JOIN embeddings eb ON eb.vec_id = y.vec_id
+  WHERE x.vec_id < y.vec_id
+)
+WHERE cos >= 0.4
+GROUP BY a, b
+"""
+
+
 def q_gold_weekly_long(spark, sf_dir):
     """End-to-end Gold path: daily facts → QGP-week rollup (wide) →
     unpivot long, the reference's daily→weekly→long chain in one plan.
@@ -1487,7 +1536,7 @@ cand AS (
 ),
 scored AS (
   SELECT c.query_id, c.vec_id,
-         list_cosine_similarity(e.embedding, qe.embedding) AS cos
+         list_cosine_similarity(e.embedding::DOUBLE[], qe.embedding::DOUBLE[]) AS cos
   FROM cand c
   JOIN embeddings e ON e.vec_id = c.vec_id
   JOIN embeddings qe ON qe.vec_id = c.query_id
@@ -2012,6 +2061,7 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_portable": q_minhash_portable,
     "simhash_portable": q_simhash_portable,
+    "embedding_near_dups_portable": q_embedding_near_dups_portable,
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
@@ -2062,6 +2112,7 @@ ORACLES: dict[str, str] = {
     "text_quality_score": SQL_QUALITY,
     "ann_brute_topk": SQL_ANN_BRUTE,
     "lsh_ann_portable": SQL_LSH_ANN_PORTABLE,
+    "embedding_near_dups_portable": SQL_EMB_NEAR_DUPS_PORTABLE,
     "embedding_cosine_pairs": SQL_EMB_PAIRS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "minhash_portable": SQL_MINHASH_PORTABLE,

@@ -439,6 +439,31 @@ def test_lsh_ann_portable_matches_pure_python_model(spark):
     assert {r["vec_id"] for r in all_ranked} == expected_cands
 
 
+def test_embedding_near_dups_portable_finds_planted_pair(spark):
+    """Planted near-identical vectors must surface as a pair with
+    cosine ≈ 1 through the portable (integer-bucketed) near-dup path,
+    and every reported pair must clear the threshold."""
+    import numpy as np
+
+    from digital_analytics_data_platform_spark.operators.similarity import (
+        embedding_near_dups_portable,
+    )
+
+    dim = 8
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(50, dim).astype("float32")
+    vecs[7] = vecs[3] + 0.001 * rng.randn(dim).astype("float32")
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(50)]
+    )
+    pairs = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in embedding_near_dups_portable(df, dim=dim, min_cosine=0.9, n_planes=4, n_tables=4).collect()
+    }
+    assert (3, 7) in pairs and pairs[(3, 7)] > 0.999
+    assert all(v >= 0.9 for v in pairs.values())
+
+
 def test_multimodal_plumbing(spark):
     media = synthetic_media(spark, 50)
     feats = extract_features(media, fake_decode=True)

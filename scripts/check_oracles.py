@@ -38,6 +38,17 @@ def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
 
 def main():
     spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)
+
+    # Python-worker warmup (same as bench.py): the first pandas-UDF
+    # entry otherwise pays 8 simultaneous cold numpy/pandas imports,
+    # which reads as that entry being slow in the per-entry timings.
+    def _warm(it):
+        import numpy  # noqa: F401
+        import pandas as _pd  # noqa: F401
+
+        yield from it
+
+    spark.range(32).repartition(8).mapInPandas(_warm, "id long").count()
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")

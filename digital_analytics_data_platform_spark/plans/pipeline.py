@@ -583,6 +583,24 @@ class MedallionPipeline:
             if LakeTable.exists(self._path(layer)):
                 self.read(spark, layer).createOrReplaceTempView(f"{prefix}{layer}")
                 registered.append(f"{prefix}{layer}")
+        if LakeTable.exists(self._path("qa_results")):
+            # The reference's test DASHBOARD view — latest run per
+            # (layer, test) with pass/fail rollup
+            # (``sql/02_SDI_SA360/03_GOLD/tests/
+            # 99_view_sa360_test_dashboard.sql``): a thin aggregation
+            # over vw_qa_results, window-free (max_by on the apply seq).
+            LakeTable.load(self._path("qa_results")).read(spark).groupBy(
+                "test_layer", "test_name"
+            ).agg(
+                F.max_by(F.struct("run_id", "severity", "status", "is_critical_failure",
+                                  "expected_value", "actual_value"), F.col("_order")).alias("_w"),
+                F.count(F.lit(1)).alias("n_runs"),
+                F.sum(F.when(F.col("status") == "PASS", 1).otherwise(0)).alias("n_pass"),
+            ).select(
+                "test_layer", "test_name", F.col("_w.*"), "n_runs", "n_pass",
+                (F.col("n_pass") == F.col("n_runs")).alias("always_passed"),
+            ).createOrReplaceTempView(f"{prefix}qa_dashboard")
+            registered.append(f"{prefix}qa_dashboard")
         return registered
 
     def _merge_long(

@@ -324,6 +324,11 @@ def test_qa_results_table_and_view(spark, tmp_path):
         "SELECT count(*) AS n FROM vw_qa_results WHERE is_critical_failure"
     ).first()["n"]
     assert n == 0
+    # the dashboard rollup view (latest run per test + pass history)
+    assert "vw_qa_dashboard" in views
+    dash = spark.sql("SELECT * FROM vw_qa_dashboard").collect()
+    assert dash and all(r["status"] == "PASS" and r["always_passed"] for r in dash)
+    assert {"test_layer", "test_name", "run_id", "n_runs", "n_pass"} <= set(dash[0].asDict())
     # replaying the batch must not duplicate QA rows (ledger-keyed merge)
     before = qa.count()
     p.apply_batch(spark, log, 0)

@@ -44,10 +44,9 @@ BENCH_QUERIES = [
     "j4_spine_join",
     "t6_unpivot",
     "qgp_week",
-    "gold_weekly_long",
+    "gold_long",
     "text_exact_dedupe",
-    "text_language_id",
-    "text_quality_score",
+    "text_features",
     "corpus_clean",
     "ann_brute_topk",
     "embedding_cosine_pairs",
@@ -319,7 +318,9 @@ def main() -> None:
 
     spark.range(cpus * 4).repartition(cpus).mapInPandas(_warm, "id long").count()
 
-    from digital_analytics_data_platform_spark.queries import REGISTRY
+    from digital_analytics_data_platform_spark.queries import PYTEST_ONLY, REGISTRY
+
+    all_queries = {**REGISTRY, **PYTEST_ONLY}
 
     # BASELINE.md spin-probe protocol, automated: wait (bounded) for a
     # hypervisor-calm window so the apply measurement is steal-valid,
@@ -368,7 +369,7 @@ def main() -> None:
         "cdc_apply": round(sum(apply_stats["apply_batch_steal_cpu_s"]), 1)
     }
     for name in BENCH_QUERIES:
-        fn = REGISTRY[name]
+        fn = all_queries[name]
         t0 = time.monotonic()
         s0 = _steal_seconds()
         df = fn(spark, sf_dir)

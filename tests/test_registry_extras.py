@@ -1,0 +1,96 @@
+"""Registry-shape guards + execution coverage for PYTEST_ONLY entries.
+
+The driver's CORRECTNESS gate records AT MOST 50 rows (hard count cap,
+observed r2/r3). These tests pin the contract: the registry must fit
+the window with every entry oracle-bearing, and the entries moved out
+of the window (PYTEST_ONLY) must still run and agree with their
+in-window siblings.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from digital_analytics_data_platform_spark.queries import ORACLES, PYTEST_ONLY, REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# entries whose result is legitimately empty at sf0.001 (tiny corpus →
+# no near-dup pairs above threshold)
+MAY_BE_EMPTY = {
+    "embedding_near_dups_lsh",
+    "minhash_near_dups",
+    "simhash_near_dups",
+}
+
+
+def test_registry_fits_driver_window():
+    assert len(REGISTRY) <= 50, "driver CORRECTNESS gate caps at 50 rows"
+    assert set(REGISTRY) == set(ORACLES), (
+        "every registry entry must be oracle-bearing; rows-only entries "
+        "belong in PYTEST_ONLY"
+    )
+    assert not set(REGISTRY) & set(PYTEST_ONLY)
+
+
+@pytest.mark.parametrize("name", sorted(PYTEST_ONLY))
+def test_pytest_only_entry_runs(spark, name):
+    df = PYTEST_ONLY[name](spark, SF_DIR)
+    rows = df.count()
+    if name not in MAY_BE_EMPTY:
+        assert rows > 0, f"{name} returned no rows at sf0.001"
+    assert df.schema.fieldNames(), name
+
+
+def test_text_features_agrees_with_constituents(spark):
+    """The merged text_features row must equal the four r3 entries it
+    replaced, column for column."""
+    from digital_analytics_data_platform_spark.queries import (
+        q_text_features,
+        q_text_fingerprint_md5,
+        q_text_language_id,
+        q_text_quality_score,
+        q_text_token_count,
+    )
+
+    merged = q_text_features(spark, SF_DIR).toPandas().set_index("doc_id").sort_index()
+    lang = q_text_language_id(spark, SF_DIR).toPandas().set_index("doc_id").sort_index()
+    toks = q_text_token_count(spark, SF_DIR).toPandas().set_index("doc_id").sort_index()
+    qual = q_text_quality_score(spark, SF_DIR).toPandas().set_index("doc_id").sort_index()
+    md5 = q_text_fingerprint_md5(spark, SF_DIR).toPandas().set_index("doc_id").sort_index()
+
+    assert merged["lang_guess"].equals(lang["lang_guess"])
+    assert merged["n_tokens"].equals(toks["n_tokens"])
+    assert merged["n_words"].equals(toks["n_words"])
+    assert merged["n_chars"].equals(toks["n_chars"])
+    for col in ("punct_ratio", "digit_ratio", "stopword_ratio"):
+        assert (merged[col] - qual[col]).abs().fillna(0.0).max() < 1e-9
+    assert merged["q_score"].equals(qual["q_score"])
+    assert merged["content_md5"].equals(md5["content_md5"])
+
+
+def test_gold_long_agrees_with_constituents(spark):
+    from digital_analytics_data_platform_spark.queries import (
+        q_gold_daily_long,
+        q_gold_long,
+        q_gold_weekly_long,
+    )
+
+    merged = q_gold_long(spark, SF_DIR).toPandas()
+    daily = q_gold_daily_long(spark, SF_DIR)
+    weekly = q_gold_weekly_long(spark, SF_DIR)
+    assert len(merged[merged.grain == "daily"]) == daily.count()
+    assert len(merged[merged.grain == "weekly"]) == weekly.count()
+    assert set(merged.columns) == {"grain", "period", "event_type", "metric_name", "metric_value"}
+
+
+def test_multimodal_roundtrip_entries_all_true(spark):
+    """The png/jpeg registry entries are self-verifying: every row must
+    come back roundtrip_ok=true (that is what their range-spine oracle
+    asserts at the driver)."""
+    from digital_analytics_data_platform_spark.queries import q_multimodal_jpeg, q_multimodal_png
+
+    png = q_multimodal_png(spark, SF_DIR).toPandas()
+    assert len(png) == 128 and png["roundtrip_ok"].all()
+    jpg = q_multimodal_jpeg(spark, SF_DIR).toPandas()
+    assert len(jpg) == 96 and jpg["roundtrip_ok"].all()

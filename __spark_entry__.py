@@ -4,10 +4,13 @@
 rollup) on /root/testdata/sf0.001.
 ``queries()`` — one entry per implemented operator from SURVEY.md §2
 plus the training-data operators; see
-``digital_analytics_data_platform_spark/queries.py``.
-``oracle_sql()`` — DuckDB-equivalent SQL per query (omitted for
-hash/LSH/mapInPandas operators that SQL cannot express; those get the
-driver's rows-only check and are covered by tests/test_operators.py).
+``digital_analytics_data_platform_spark/queries.py``. Exactly 50
+entries (the driver's CORRECTNESS gate caps at 50 rows), EVERY one
+oracle-bearing. Engine-hash twins of the portable oracle-checked
+operators and rows-only plumbing live in ``queries.PYTEST_ONLY``
+(exercised by tests/ and bench.py instead of burning a driver row).
+``oracle_sql()`` — DuckDB-equivalent SQL per query, complete over
+``queries()``.
 """
 
 from __future__ import annotations

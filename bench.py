@@ -14,6 +14,11 @@ Env knobs:
   BENCH_EVENTS         (default 2_000_000) CDC apply event count
   BENCH_BATCHES        (default 5)
   BENCH_BUCKETS        (default 64)
+  BENCH_APPLY_ATTEMPTS (default 6)  retries until a steal-valid window
+  BENCH_CALM_MAX_WAIT_S(default 600) max wait for a hypervisor-calm window
+  BENCH_PIPELINE_EVENTS(default 300_000 over 3 batches) medallion bench
+  BENCH_PIPELINE_BIG_EVENTS (default 1_000_000, one batch) amortization
+                       proof run; 0 disables
 """
 
 from __future__ import annotations
@@ -265,13 +270,20 @@ def run_pipeline_bench(spark, n_events: int, n_batches: int, n_buckets: int) -> 
     shutil.rmtree(tmp, ignore_errors=True)
     steady = walls[1:] if len(walls) > 1 else walls
     med = sorted(steady)[len(steady) // 2]
+    med_steal = steals[walls.index(med)]
     per_batch_events = n_events // n_batches
+    cpus = spark.sparkContext.defaultParallelism
+    # steal-adjusted rate: stolen CPU converted to wall at this run's
+    # parallelism (floor 50% of raw wall — the adjustment is a bound,
+    # not a claim of a perfectly clean machine)
+    adj_wall = max(med - med_steal / cpus, 0.5 * med)
     return {
         "pipeline_events": n_events,
         "pipeline_batches": n_batches,
         "pipeline_batch_walls_s": [round(w, 3) for w in walls],
         "pipeline_batch_steal_cpu_s": [round(s, 1) for s in steals],
         "pipeline_events_per_sec_median": round(per_batch_events / med, 1),
+        "pipeline_events_per_sec_steal_adj": round(per_batch_events / adj_wall, 1),
         "pipeline_steal_valid": max(steals) <= STEAL_VALID_CPU_S,
     }
 
@@ -327,10 +339,14 @@ def main() -> None:
     # then retry once if a steal burst lands mid-apply anyway. Keeps the
     # attempt with the lowest worst-batch steal; all attempts' steal
     # columns are published either way.
-    calm_max = float(os.environ.get("BENCH_CALM_MAX_WAIT_S", "300"))
+    # r3 lesson: 300s of calm-wait + 3 attempts still landed all three
+    # apply attempts in steal bursts (apply_steal_valid=false in the
+    # recorded artifact despite valid windows existing in prose). Spend
+    # more wall on validity: the headline number is worthless without it.
+    calm_max = float(os.environ.get("BENCH_CALM_MAX_WAIT_S", "600"))
     calm = wait_calm_window(calm_max) if calm_max > 0 else {"calm": None}
     attempts = []
-    max_attempts = max(1, int(os.environ.get("BENCH_APPLY_ATTEMPTS", "3")))
+    max_attempts = max(1, int(os.environ.get("BENCH_APPLY_ATTEMPTS", "6")))
     for _ in range(max_attempts):
         apply_stats = run_apply_bench(
             spark, n_events, n_batches, n_buckets, strategy=strategy, compact_every=compact_every
@@ -360,6 +376,15 @@ def main() -> None:
     pipeline_stats = (
         run_pipeline_bench(spark, pipe_events, pipe_batches, pipe_buckets) if pipe_events > 0 else {}
     )
+    # amortization proof (VERDICT r3 ask #4): at 100k-event batches the
+    # medallion is fixed-cost-bound by design (~11 ledgered merges +
+    # job-count overhead per batch); one ≥1M-event single-batch run
+    # shows ev/s scaling toward the kernel bound as the fixed cost
+    # amortizes. Recorded under pipeline_big_*.
+    big_events = int(os.environ.get("BENCH_PIPELINE_BIG_EVENTS", "1000000"))
+    if big_events > 0:
+        big = run_pipeline_bench(spark, big_events, 1, pipe_buckets)
+        pipeline_stats.update({f"pipeline_big_{k.removeprefix('pipeline_')}": v for k, v in big.items()})
 
     # per-query wall AND hypervisor steal (this VM loses CPU to the host
     # in multi-minute bursts — r1's published minhash number was ~16×

@@ -175,12 +175,27 @@ class LakeTable:
         include_deleted: bool = False,
         snapshot_version: int | None = None,
         min_order: tuple | None = None,
+        stats_range: dict[str, tuple] | None = None,
         collapse: bool | None = None,
     ) -> DataFrame:
         """Read the table at a snapshot. ``buckets`` prunes to the given
         bucket ids via the manifest (file skipping — the partition-
         pruning analog); ``min_order`` prunes files whose max order-col
         stat is below the bound (incremental-scan analog).
+
+        ``stats_range`` maps column → (lo, hi) inclusive bounds and
+        skips files whose per-file min/max stats cannot overlap — the
+        Iceberg file-skipping analog for consumption-time range reads
+        (``day BETWEEN`` on a day-keyed gold mart). Bounds compare
+        against the manifest's JSON-safe stat values (dates/timestamps
+        as ISO strings, whose lexicographic order is chronological), so
+        pass ISO strings for temporal columns. Either bound may be
+        None (open-ended). Skipping is conservative: kept files may
+        still hold out-of-range rows — apply the actual predicate on
+        the returned frame as usual. Stats exist for key and order
+        columns; range-pruning on a KEY column can never split a key's
+        LWW version history across kept/dropped files (all versions of
+        a key share its key values).
 
         If the snapshot carries merge-on-read delta files (appended by
         ``merge_changes(strategy="mor")``), a key may appear in several
@@ -195,6 +210,17 @@ class LakeTable:
         if min_order is not None and files:
             ocol = snap.order_cols[-1]  # lsn stats
             files = [f for f in files if f.get(f"max_{ocol}") is None or f[f"max_{ocol}"] >= min_order[-1]]
+        if stats_range:
+            for col, (lo, hi) in stats_range.items():
+                files = [
+                    f
+                    for f in files
+                    if f.get(f"min_{col}") is None  # no stats → keep (conservative)
+                    or not (
+                        (hi is not None and f[f"min_{col}"] > hi)
+                        or (lo is not None and f[f"max_{col}"] < lo)
+                    )
+                ]
         schema = snap.schema()
         if not files:
             return spark.createDataFrame([], schema)
@@ -276,7 +302,18 @@ class LakeTable:
             written = reader.parquet(out)
         except AnalysisException:
             return []  # empty write: no part files to publish
-        ocols = [c for c in snap.order_cols if c in written.columns]
+        # min/max stats for key AND order columns: order-col stats drive
+        # the incremental-scan pruning (min_order), key-col stats drive
+        # consumption-time range pruning (stats_range) — e.g. the gold
+        # marts key on day/qgp_week, so a dashboard's `day BETWEEN` read
+        # skips files whose day range can't overlap. Same agg job either
+        # way — stats ride the one groupBy(file_path) pass.
+        seen: set[str] = set()
+        ocols = [
+            c
+            for c in (*snap.key_cols, *snap.order_cols)
+            if c in written.columns and not (c in seen or seen.add(c))
+        ]
         aggs: list[F.Column] = [F.count(F.lit(1)).alias("rows")]
         for c in ocols:
             aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]

@@ -253,7 +253,16 @@ def _simhash_band_verify(sig: DataFrame, *, bits: int, max_hamming: int) -> Data
     the signature would give every doc key 0 and make that band's join
     quadratic), join on (band, key), verify hamming ≤ ``max_hamming``
     inside blocks only. Distance ≤ k with k+1 covering bands ⇒ some
-    band matches exactly, so recall is 1.0 by construction."""
+    band matches exactly, so recall is 1.0 by construction. That
+    guarantee needs max_hamming + 1 ≤ bits (otherwise a pair may differ
+    in every band) — a degenerate config, rejected loudly rather than
+    silently losing recall."""
+    if max_hamming >= bits:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= bits={bits}: pigeonhole blocking "
+            "cannot guarantee recall (need max_hamming + 1 covering bands); "
+            "raise bits or lower max_hamming"
+        )
     n_bands = min(max_hamming + 1, bits)
     band_bits = max(1, bits // n_bands)
     bandkeys = sig.select(
@@ -323,6 +332,13 @@ def simhash_portable_near_dups(
     8-byte hash vs md5's 16 bytes + hex decode). Returns distinct
     (a, b, hamming int) with a < b and hamming ≤ ``max_hamming``.
     """
+    # conv(hex,16,10).cast('long') overflows to null at ≥64 bits (and
+    # flips sign semantics near 63): cap the portable variant at 60
+    # bits (15 hex chars, always positive) so bad configs fail loudly
+    # instead of producing null per-shingle hashes
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits={bits}: portable md5 signatures support 1..60 bits")
+
     def md5_bits(col):
         return F.conv(F.substring(F.md5(col), 1, (bits + 3) // 4), 16, 10).cast("long")
 

@@ -145,8 +145,12 @@ class _BitReader:
         self.n = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("corrupt JPEG: truncated entropy data")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("corrupt JPEG: truncated entropy data")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -179,11 +183,12 @@ class _BitReader:
     def align_restart(self) -> None:
         """Consume padding up to and including the next RST marker."""
         self.acc, self.n = 0, 0
-        while True:
+        while self.pos + 1 < len(self.data):
             if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
                 self.pos += 2
                 return
             self.pos += 1
+        raise ValueError("corrupt JPEG: expected restart marker before end of data")
 
 
 class _RestartMarker(Exception):
@@ -218,13 +223,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        if pos + 1 >= len(payload):
+            raise ValueError("corrupt JPEG: truncated marker")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue
+        if pos + 2 > len(payload):
+            raise ValueError("corrupt JPEG: truncated segment header")
         (seglen,) = struct.unpack_from(">H", payload, pos)
+        if pos + seglen > len(payload):
+            raise ValueError("corrupt JPEG: truncated segment")
         seg = payload[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
             off = 0
@@ -240,6 +251,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 tc, th = seg[off] >> 4, seg[off] & 0xF
                 bits = list(seg[off + 1 : off + 17])
                 nv = sum(bits)
+                if len(bits) < 16 or off + 17 + nv > len(seg):
+                    raise ValueError("corrupt JPEG: truncated DHT segment")
                 vals = list(seg[off + 17 : off + 17 + nv])
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_decoder(bits, vals)
                 off += 17 + nv
@@ -280,7 +293,15 @@ def _decode_scan(data, pos, frame, scan, qt, dc_tabs, ac_tabs, restart_interval)
         c["bw"] = mcus_x * c["h"]  # blocks per row
         c["bh"] = mcus_y * c["v"]
         c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+        if c["id"] not in scan:
+            raise ValueError(f"corrupt JPEG: SOS missing component id {c['id']}")
         c["dc_t"], c["ac_t"] = scan[c["id"]]
+        if c["dc_t"] not in dc_tabs or c["ac_t"] not in ac_tabs:
+            raise ValueError(
+                f"corrupt JPEG: missing Huffman table (dc={c['dc_t']}, ac={c['ac_t']})"
+            )
+        if c["tq"] not in qt:
+            raise ValueError(f"corrupt JPEG: missing quant table {c['tq']}")
         c["pred"] = 0
     rd = _BitReader(data, pos)
     mcu = 0

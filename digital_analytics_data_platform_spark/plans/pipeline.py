@@ -61,7 +61,7 @@ class MedallionPipeline:
         strategy: str = "cow",
         run_qa: bool = True,
         write_salt: int = 1,
-        full_audit_every: int = 0,
+        full_audit_every: int = 16,
     ):
         self.base_dir = base_dir
         self.n_buckets = n_buckets
@@ -75,9 +75,11 @@ class MedallionPipeline:
         # when the caller invokes run_full_audit) — the reference's
         # scheduled-orchestration QA cadence
         # (``orchestration/bigquery/…/00_sdi_sa360_paid_search_sp_call.sql``)
-        # expressed as a batch-count schedule. The counter is process-
-        # local by design: a restart re-arms the schedule, it never
-        # skips audits.
+        # expressed as a batch-count schedule. Defaults ON (16): the
+        # per-batch QA only validates the batch recompute (rows labeled
+        # gold_recompute), so without a scheduled audit persisted-mart
+        # drift would go undetected. The counter is process-local by
+        # design: a restart re-arms the schedule, it never skips audits.
         self.full_audit_every = full_audit_every
         self._batches_since_audit = 0
 
@@ -371,6 +373,12 @@ class MedallionPipeline:
                     weekly.drop("_order"),
                     gold_daily_long=daily_long.drop("_order"),
                     out_dir=os.path.join(self.base_dir, "qa"),
+                    # the gold frames here are the batch RECOMPUTE
+                    # (weekly/long derive from the in-hand daily frame),
+                    # so label the rows honestly: they validate the
+                    # recompute's internal consistency; the PERSISTED
+                    # marts are audited by the scheduled run_full_audit
+                    gold_layer="gold_recompute",
                 )
                 self._persist_qa(spark, out.qa, f"batch:{batch_id}", apply_seq)
         finally:
@@ -722,6 +730,10 @@ class MedallionPipeline:
 
     # -- reads -------------------------------------------------------------
 
-    def read(self, spark: SparkSession, layer: str) -> DataFrame:
-        df = LakeTable.load(self._path(layer)).read(spark)
+    def read(self, spark: SparkSession, layer: str, **read_kw) -> DataFrame:
+        """Read a layer. ``read_kw`` passes through to
+        :meth:`LakeTable.read` — e.g. ``stats_range={"day": (lo, hi)}``
+        for file-skipped dashboard range reads on the day/qgp_week-keyed
+        gold marts."""
+        df = LakeTable.load(self._path(layer)).read(spark, **read_kw)
         return df.drop("_order") if "_order" in df.columns else df

@@ -162,10 +162,18 @@ def run_quality_checks(
     as_of: Any = None,
     max_delay_hours: float = 24.0,
     out_dir: str | None = None,
+    gold_layer: str = "gold",
 ) -> list[dict]:
     """Full per-batch audit. Each layer is scanned exactly once (all its
     checks ride one aggregation) — at the 10^10-event design point the
-    old one-job-per-check shape was ~12 full layer reads per batch."""
+    old one-job-per-check shape was ~12 full layer reads per batch.
+
+    ``gold_layer`` labels the gold-side rows. The per-batch pipeline
+    passes ``"gold_recompute"`` because it hands in the recomputed
+    in-flight frames (weekly/long are derived from the same daily frame,
+    so those reconciliations validate the recompute, NOT the persisted
+    marts — the persisted state is audited by the scheduled
+    ``run_full_audit``, which keeps the default label)."""
     keys = ["conv_id", "turn_idx"]
     results: list[dict] = []
 
@@ -205,8 +213,8 @@ def run_quality_checks(
         F.sum("total_tokens").alias("_sum_tokens"),
     ).collect()[0]
     dup_g = int(gd["_n"]) - int(gd["_nk"])
-    results.append(_row("gold", "duplicate_grain", "HIGH", 0, dup_g, dup_g == 0))
-    results.append(_row("gold", "non_negative_metrics", "MEDIUM", 0, int(gd["_neg"] or 0), not gd["_neg"]))
+    results.append(_row(gold_layer, "duplicate_grain", "HIGH", 0, dup_g, dup_g == 0))
+    results.append(_row(gold_layer, "non_negative_metrics", "MEDIUM", 0, int(gd["_neg"] or 0), not gd["_neg"]))
 
     # ---- gold weekly: one agg, reconcile against daily sums --------------
     gw = gold_weekly.agg(
@@ -216,7 +224,7 @@ def run_quality_checks(
         d_v = float(gd[f"_sum_{m}"] or 0)
         w_v = float(gw[f"_sum_{m}"] or 0)
         results.append(
-            _row("gold", f"weekly_eq_sum_daily_{m}", "HIGH", d_v, w_v, abs(d_v - w_v) <= TOLERANCE)
+            _row(gold_layer, f"weekly_eq_sum_daily_{m}", "HIGH", d_v, w_v, abs(d_v - w_v) <= TOLERANCE)
         )
 
     # ---- gold long: reconcile long == wide per metric. The wide-side
@@ -230,7 +238,7 @@ def run_quality_checks(
             exp = float(gd[key] or 0.0)
             act = float(lmap.get(m, 0.0))
             results.append(
-                _row("gold", f"long_eq_wide_{m}", "HIGH", exp, act, abs(exp - act) <= TOLERANCE)
+                _row(gold_layer, f"long_eq_wide_{m}", "HIGH", exp, act, abs(exp - act) <= TOLERANCE)
             )
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)

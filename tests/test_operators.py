@@ -757,3 +757,48 @@ def test_jpeg_codec_property_roundtrip():
         assert np.abs(got.astype(float) - px.astype(float)).mean() < 6.0
 
     check()
+
+
+def test_jpeg_corrupt_inputs_raise_valueerror(spark):
+    """Malformed payloads must surface as ValueError('corrupt JPEG …'),
+    not IndexError/KeyError, so callers inside mapInPandas batch loops
+    can distinguish bad data from codec bugs (ADVICE r3)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from digital_analytics_data_platform_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    good = encode_jpeg(px, quality=85)
+    # truncated mid-entropy-data
+    with _pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) // 2])
+    # truncated inside a restart-interval stream
+    good_rst = encode_jpeg(px, quality=85, restart_interval=1)
+    with _pytest.raises(ValueError):
+        decode_jpeg(good_rst[: len(good_rst) - 10])
+    # not a JPEG at all
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01\x02")
+    # SOI+EOI with no scan
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xd9")
+
+
+def test_simhash_degenerate_configs_rejected(spark):
+    """Pigeonhole recall guarantee needs max_hamming < bits; the
+    portable md5 signatures support at most 60 bits (conv→long
+    overflow). Both degenerate configs must fail loudly (ADVICE r3)."""
+    import pytest as _pytest
+
+    from digital_analytics_data_platform_spark.operators.docdedupe import (
+        simhash_near_dups,
+        simhash_portable_near_dups,
+    )
+
+    df = spark.createDataFrame([("d1", "a b c"), ("d2", "a b d")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dups(df, bits=8, max_hamming=8)
+    with _pytest.raises(ValueError, match="60 bits"):
+        simhash_portable_near_dups(df, bits=64, max_hamming=3)

@@ -611,3 +611,51 @@ def test_full_audit_includes_keyidx_consistency(spark, tmp_path):
     idx_rows = [r for r in results if r["test_name"] == "keyidx_matches_mart"]
     assert len(idx_rows) == 4
     assert all(r["status"] == "PASS" for r in idx_rows)
+
+
+def test_ledger_trim_past_capacity_stays_correct(spark, tmp_path, monkeypatch):
+    """_LEDGER_MAX is a shared per-table cap and the medallion writes
+    several ledger keys per batch to some tables (VERDICT r3 ask #7).
+    Past capacity: (a) a RECENT batch replay must still take the free
+    fast path (all downstream ledgers hold it); (b) a TRIMMED batch
+    replay must read as not-applied and converge idempotently to the
+    same state (LWW protects), never corrupt it."""
+    from digital_analytics_data_platform_spark.lake import LakeTable
+    from digital_analytics_data_platform_spark.lake import merge as merge_mod
+
+    monkeypatch.setattr(merge_mod, "_LEDGER_MAX", 4)
+    p = _pipe(tmp_path)
+    batches = []
+    for i in range(6):
+        b = cdc_rows(
+            spark,
+            [("I", f"c{i}", t, "user", f"m{i}-{t}", None, 10 * i + t, i * 10 + t) for t in range(3)],
+        )
+        batches.append(b)
+        p.apply_batch(spark, b, i)
+
+    bronze_ledger = (
+        LakeTable.load(p._path("bronze")).snapshot().props.get(merge_mod._LEDGER_KEY, {})
+    )
+    assert len(bronze_ledger) <= 4
+    assert "bronze:0" not in bronze_ledger  # oldest-first eviction
+    assert "bronze:5" in bronze_ledger
+
+    def state():
+        return sorted(
+            map(tuple, p.read(spark, "silver").select("conv_id", "turn_idx", "text").collect())
+        )
+
+    before = state()
+    assert len(before) == 18
+
+    # (a) recent replay: bronze no-op AND downstream fast path (no
+    # silver/gold merges at all — the common at-least-once redelivery)
+    r5 = p.apply_batch(spark, batches[5], 5)
+    assert r5.bronze.skipped and r5.silver is None
+
+    # (b) trimmed replay: entry evicted → re-merge (not skipped), LWW
+    # makes it a value-level no-op; downstream rebuild is idempotent
+    r0 = p.apply_batch(spark, batches[0], 0)
+    assert not r0.bronze.skipped
+    assert state() == before

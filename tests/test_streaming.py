@@ -179,14 +179,16 @@ def test_stream_events_rollup_matches_batch(spark):
                 F.count(F.lit(1)).alias("n_events"),
                 F.sum(F.pmod("event_id", F.lit(97))).alias("checksum"),
             )
+            .filter(F.col("window.end") <= F.lit(wm))
             .select(
-                F.col("window.start").alias("window_start"),
-                F.col("window.end").alias("window_end"),
+                # the query stringifies its window bounds (tz-aware vs
+                # DuckDB-naive representation fix) — mirror that here
+                F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
                 "event_type",
                 "n_events",
                 "checksum",
             )
-            .filter(F.col("window_end") <= F.lit(wm))
             .collect()
         )
     }

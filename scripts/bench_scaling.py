@@ -49,9 +49,15 @@ if os.environ.get("BENCH_TMPFS", "1") == "1":
     os.makedirs("/dev/shm/spark-local", exist_ok=True)
     tempfile.tempdir = "/dev/shm/bench"
 from digital_analytics_data_platform_spark.session import get_spark
-from bench import run_apply_bench
+from bench import run_apply_bench, wait_calm_window
 
 cpus = int(sys.argv[1]); n_events = int(sys.argv[2]); n_batches = int(sys.argv[3])
+# calm-gate each level like bench.py's apply (r4: an ungated scaling run
+# caught a steal storm — 1185 cpu-s in one 16-core batch — and recorded
+# a meaningless 0.36 efficiency for a job whose clean batches scaled fine)
+calm_max = float(os.environ.get("BENCH_CALM_MAX_WAIT_S", "600"))
+if calm_max > 0:
+    print("CALM " + json.dumps(wait_calm_window(calm_max)), flush=True)
 strategy = os.environ.get("BENCH_STRATEGY", "mor")
 feed = os.environ.get("BENCH_FEED", "generate")
 extra = {{

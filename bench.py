@@ -16,6 +16,9 @@ Env knobs:
   BENCH_BUCKETS        (default 64)
   BENCH_APPLY_ATTEMPTS (default 6)  retries until a steal-valid window
   BENCH_CALM_MAX_WAIT_S(default 600) max wait for a hypervisor-calm window
+  BENCH_APPLY_MAX_TOTAL_S (default 1500) global deadline across apply
+                       attempts+calm waits: a stormy host degrades to a
+                       steal-invalid artifact, never to no artifact
   BENCH_PIPELINE_EVENTS(default 300_000 over 3 batches) medallion bench
   BENCH_PIPELINE_BIG_EVENTS (default 1_000_000, one batch) amortization
                        proof run; 0 disables
@@ -344,7 +347,11 @@ def main() -> None:
     # recorded artifact despite valid windows existing in prose). Spend
     # more wall on validity: the headline number is worthless without it.
     calm_max = float(os.environ.get("BENCH_CALM_MAX_WAIT_S", "600"))
-    calm = wait_calm_window(calm_max) if calm_max > 0 else {"calm": None}
+    # global deadline across retries: a stormy host must degrade to a
+    # steal-invalid artifact, never to NO artifact (driver timeout) —
+    # the worst case without this is attempts × calm_max of pure waiting
+    deadline = time.monotonic() + float(os.environ.get("BENCH_APPLY_MAX_TOTAL_S", "1500"))
+    calm = wait_calm_window(min(calm_max, max(deadline - time.monotonic(), 0))) if calm_max > 0 else {"calm": None}
     attempts = []
     max_attempts = max(1, int(os.environ.get("BENCH_APPLY_ATTEMPTS", "6")))
     for _ in range(max_attempts):
@@ -352,10 +359,11 @@ def main() -> None:
             spark, n_events, n_batches, n_buckets, strategy=strategy, compact_every=compact_every
         )
         attempts.append(apply_stats)
-        if apply_stats["apply_steal_valid"]:
+        if apply_stats["apply_steal_valid"] or time.monotonic() > deadline:
             break
         if len(attempts) < max_attempts:
-            calm = wait_calm_window(calm_max) if calm_max > 0 else calm
+            budget = max(deadline - time.monotonic(), 0)
+            calm = wait_calm_window(min(calm_max, budget)) if calm_max > 0 else calm
     apply_stats = min(attempts, key=lambda a: max(a["apply_batch_steal_cpu_s"]))
     apply_stats["apply_attempts"] = len(attempts)
     apply_stats["apply_attempt_max_steal_cpu_s"] = [

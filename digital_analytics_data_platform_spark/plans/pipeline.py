@@ -47,6 +47,7 @@ class MedallionResult:
     gold_weekly_long: MergeResult | None = None
     qa: list = field(default_factory=list)
     full_audit: list | None = None
+    maintenance: list | None = None
 
 
 class MedallionPipeline:
@@ -62,6 +63,8 @@ class MedallionPipeline:
         run_qa: bool = True,
         write_salt: int = 1,
         full_audit_every: int = 16,
+        expire_snapshots_every: int = 64,
+        keep_snapshots: int = 64,
     ):
         self.base_dir = base_dir
         self.n_buckets = n_buckets
@@ -82,6 +85,18 @@ class MedallionPipeline:
         # design: a restart re-arms the schedule, it never skips audits.
         self.full_audit_every = full_audit_every
         self._batches_since_audit = 0
+        # Storage-lifecycle cadence: every N applied batches, expire old
+        # snapshot manifests (keeping the newest ``keep_snapshots`` per
+        # table — this also bounds the read_changes changelog window and
+        # time-travel horizon) and vacuum uncommitted-write orphans. The
+        # pipeline writes ~3 manifests/batch across ~10 tables, so an
+        # unexpired 10^10-event replay would accumulate O(100k) manifest
+        # files each carrying a full file list; the cadence keeps the
+        # metadata O(keep_snapshots). 0 disables (caller schedules
+        # run_maintenance itself).
+        self.expire_snapshots_every = expire_snapshots_every
+        self.keep_snapshots = keep_snapshots
+        self._batches_since_expiry = 0
 
     # -- table handles -----------------------------------------------------
 
@@ -200,7 +215,33 @@ class MedallionPipeline:
             if self._batches_since_audit >= self.full_audit_every:
                 self._batches_since_audit = 0
                 out.full_audit = self.run_full_audit(spark)
+        if self.expire_snapshots_every:
+            self._batches_since_expiry += 1
+            if self._batches_since_expiry >= self.expire_snapshots_every:
+                self._batches_since_expiry = 0
+                out.maintenance = self.run_maintenance()
         return out
+
+    def run_maintenance(self, *, keep_snapshots: int | None = None, grace_seconds: float = 3600.0) -> list:
+        """Expire old snapshots and vacuum orphan files on every table
+        the pipeline owns (marts, key indexes, bronze/silver). Driver-
+        side manifest arithmetic only — no Spark jobs. Exactly-once
+        ledgers live in each table's CURRENT snapshot props, so expiry
+        never weakens replay idempotence; it only bounds how far back
+        time travel / read_changes can reach."""
+        keep = keep_snapshots or self.keep_snapshots
+        stats = []
+        for name in sorted(os.listdir(self.base_dir)):
+            path = self._path(name)
+            if not LakeTable.exists(path):
+                continue
+            tbl = LakeTable.load(path)
+            s = {"table": name}
+            s.update(tbl.expire_snapshots(keep_last=keep))
+            orphans = tbl.remove_orphan_files(grace_seconds=grace_seconds)
+            s.update({f"orphan_{k}": v for k, v in orphans.items()})
+            stats.append(s)
+        return stats
 
     def _downstream_applied(self, batch_id) -> bool:
         """True iff every downstream layer's exactly-once ledger already

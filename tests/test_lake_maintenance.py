@@ -156,3 +156,75 @@ def test_read_changes_window_between_versions(spark, make_table):
     _apply(spark, tbl, [("I", "c3", 0, "user", "c", None, 30, 3)], "b3")
     got = {r["conv_id"] for r in tbl.read_changes(spark, since_version=v1, until_version=v2).collect()}
     assert got == {"c2"}
+
+
+def test_changelog_replay_equivalence(spark, make_table):
+    """A downstream consumer applying read_changes windows version by
+    version must converge to the table's exact final state — the
+    changelog-emission analog of the north rule's replay equivalence."""
+    from digital_analytics_data_platform_spark import datagen
+
+    tbl = make_table("src", n_buckets=8)
+    log = datagen.change_log(spark, 2_000, n_convs=25, turns_per_conv=8).cache()
+    versions = [tbl.snapshot().version]
+    for i in range(4):
+        lo, hi = i * 500, (i + 1) * 500
+        merge_changes(
+            spark,
+            tbl,
+            log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi)),
+            batch_key=f"b{i}",
+            strategy="mor",
+        )
+        versions.append(tbl.snapshot().version)
+    if tbl.snapshot().props.get("delta_buckets"):
+        compact(spark, tbl, all_buckets=True)
+        versions.append(tbl.snapshot().version)
+
+    state: dict = {}
+    for since, until in zip(versions, versions[1:]):
+        for r in tbl.read_changes(spark, since_version=since, until_version=until).collect():
+            k = (r["conv_id"], r["turn_idx"])
+            if r["_change_type"] == "delete":
+                state.pop(k, None)
+            else:
+                state[k] = r["text"]
+    final = {
+        (r["conv_id"], r["turn_idx"]): r["text"] for r in tbl.read(spark).collect()
+    }
+    assert state == final
+
+
+def test_pipeline_maintenance_cadence(spark, tmp_path):
+    """expire_snapshots_every triggers per-table snapshot expiry inside
+    apply_batch; ledgers (current-snapshot props) survive, so replay
+    stays a no-op after expiry."""
+    from digital_analytics_data_platform_spark.plans import MedallionPipeline
+    from tests.conftest import TRANSCRIPT_SCHEMA
+
+    p = MedallionPipeline(
+        str(tmp_path / "m"), n_buckets=8, run_qa=False,
+        expire_snapshots_every=2, keep_snapshots=1,
+    )
+    p.create_tables(TRANSCRIPT_SCHEMA)
+    b1 = cdc_rows(spark, [("I", "c1", 0, "user", "a", None, 10, 1)])
+    b2 = cdc_rows(spark, [("I", "c2", 0, "user", "b", None, 20, 2)])
+    r1 = p.apply_batch(spark, b1, "b1")
+    assert r1.maintenance is None
+    r2 = p.apply_batch(spark, b2, "b2")
+    assert r2.maintenance is not None
+    assert any(s["expired_snapshots"] > 0 for s in r2.maintenance)
+    # every surviving table kept only its newest manifest
+    from digital_analytics_data_platform_spark.lake import LakeTable
+    import os as _os
+
+    for name in _os.listdir(str(tmp_path / "m")):
+        path = str(tmp_path / "m" / name)
+        if LakeTable.exists(path):
+            t = LakeTable.load(path)
+            assert t.list_snapshots() == [t.snapshot().version]
+    # state intact and replay after expiry still a ledger no-op
+    assert p.read(spark, "bronze").count() == 2
+    r3 = p.apply_batch(spark, b2, "b2")
+    assert r3.bronze.skipped
+    assert p.read(spark, "bronze").count() == 2

@@ -58,6 +58,86 @@ from .table import DELETED_COL, LakeTable, lww_collapse
 _LEDGER_KEY = "ledger"
 _LEDGER_MAX = 1024  # retained ledger entries; older batches are protected by LWW idempotence anyway
 
+# Safe type promotions (the Iceberg schema-evolution set): a column may
+# widen mid-stream and existing files stay readable — Spark's parquet
+# reader upcasts int32→int64 and float→double at scan time, so
+# promotion is a MANIFEST change only, never a file rewrite.
+_WIDENS: set[tuple[type, type]] = {
+    (T.ByteType, T.ShortType),
+    (T.ByteType, T.IntegerType),
+    (T.ByteType, T.LongType),
+    (T.ShortType, T.IntegerType),
+    (T.ShortType, T.LongType),
+    (T.IntegerType, T.LongType),
+    (T.FloatType, T.DoubleType),
+}
+
+
+def _promote_type(table_t: T.DataType, batch_t: T.DataType, col: str) -> T.DataType:
+    """Resolve a shared column's evolved type: identical → unchanged;
+    batch wider → promote the table (int→long, float→double);
+    batch narrower → keep the table type (the batch casts up);
+    anything else (string→int, double→long, …) → refuse loudly —
+    an incompatible type change is a feed-contract violation and
+    silently coercing it would corrupt LWW comparisons."""
+    if table_t == batch_t:
+        return table_t
+    if (type(table_t), type(batch_t)) in _WIDENS:
+        return batch_t
+    if (type(batch_t), type(table_t)) in _WIDENS:
+        return table_t
+    raise ValueError(
+        f"incompatible type change for column {col!r}: table {table_t.simpleString()}"
+        f" vs batch {batch_t.simpleString()}"
+    )
+
+
+def evolve_fields(
+    table_fields: list[T.StructField],
+    incoming: T.StructType,
+    key_cols: list[str],
+    *,
+    exclude: tuple[str, ...] = ("op", "commit_lsn"),
+) -> list[T.StructField]:
+    """Evolved business-field list for one batch: table fields with
+    type promotion where the batch arrives wider, plus new payload
+    columns appended. KEY columns may never change type — bucketing
+    and the exactly-once fingerprint hash the key's binary encoding
+    (``xxhash64``), so a key-type change would silently re-bucket
+    every existing row."""
+    incoming_names = set(incoming.fieldNames())
+    evolved: list[T.StructField] = []
+    for f in table_fields:
+        if f.name in incoming_names and incoming[f.name].dataType != f.dataType:
+            if f.name in key_cols:
+                raise ValueError(
+                    f"key column {f.name!r} type change is not supported: table"
+                    f" {f.dataType.simpleString()} vs batch {incoming[f.name].dataType.simpleString()}"
+                    " (bucket layout hashes the key's binary encoding)"
+                )
+            evolved.append(
+                T.StructField(f.name, _promote_type(f.dataType, incoming[f.name].dataType, f.name), True)
+            )
+        else:
+            evolved.append(f)
+    table_names = {f.name for f in table_fields}
+    for c in incoming.fieldNames():
+        if c not in table_names and c not in exclude:
+            evolved.append(T.StructField(c, incoming[c].dataType, True))
+    return evolved
+
+
+def align_to_fields(df: DataFrame, fields: list[T.StructField]) -> DataFrame:
+    """Add missing evolved columns as typed NULLs and cast any column
+    whose batch type differs from the evolved type (narrower batches
+    cast up; wider ones were already promoted by ``evolve_fields``)."""
+    for f_ in fields:
+        if f_.name not in df.columns:
+            df = df.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+        elif df.schema[f_.name].dataType != f_.dataType:
+            df = df.withColumn(f_.name, F.col(f_.name).cast(f_.dataType))
+    return df
+
 
 @dataclass
 class MergeResult:
@@ -126,11 +206,11 @@ def merge_changes(
         return MergeResult(version=snap.version, skipped=True, wall_s=time.monotonic() - t0)
 
     # ---- schema alignment / evolution -----------------------------------
+    # New payload columns are appended; shared columns may WIDEN
+    # (int→long, float→double — manifest-only, old files upcast at
+    # scan); key-column type changes are refused (evolve_fields).
     table_fields = _business_fields(snap.schema())
-    table_names = [f.name for f in table_fields]
-    incoming_payload = [c for c in changes.columns if c not in ("op", "commit_lsn")]
-    new_fields = [changes.schema[c] for c in incoming_payload if c not in table_names]
-    evolved_fields = table_fields + [T.StructField(f.name, f.dataType, True) for f in new_fields]
+    evolved_fields = evolve_fields(table_fields, changes.schema, key_cols)
     evolved_names = [f.name for f in evolved_fields]
     evolved_schema = T.StructType(
         evolved_fields + [T.StructField(DELETED_COL, T.BooleanType(), False)]
@@ -138,10 +218,7 @@ def merge_changes(
 
     has_op = "op" in changes.columns
     has_commit = "commit_lsn" in changes.columns
-    staged = changes
-    for f_ in evolved_fields:
-        if f_.name not in staged.columns:
-            staged = staged.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+    staged = align_to_fields(changes, evolved_fields)
     if not has_op:
         staged = staged.withColumn("op", F.lit("U"))
 
@@ -219,9 +296,8 @@ def merge_changes(
 
     # ---- union existing + batch, one LWW hash-agg ------------------------
     existing = table.read(spark, buckets=affected, include_deleted=True, collapse=False)
-    for f_ in evolved_fields:  # old files lack newly-evolved columns
-        if f_.name not in existing.columns:
-            existing = existing.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+    # old files lack newly-evolved columns / carry pre-promotion types
+    existing = align_to_fields(existing, evolved_fields)
     existing_side = existing.select(
         *evolved_names, F.col(DELETED_COL), F.lit(1).alias("_in_table"), F.lit(0).alias("_from_batch")
     )
@@ -517,20 +593,11 @@ def replace_full(
         return MergeResult(version=snap.version, skipped=True)
 
     table_fields = _business_fields(snap.schema())
-    table_names = [f.name for f in table_fields]
-    extra = [
-        df.schema[c]
-        for c in df.columns
-        if c not in table_names and c not in ("op", "commit_lsn")
-    ]
-    evolved_fields = table_fields + [T.StructField(f.name, f.dataType, True) for f in extra]
+    evolved_fields = evolve_fields(table_fields, df.schema, key_cols)
     evolved_schema = T.StructType(
         evolved_fields + [T.StructField(DELETED_COL, T.BooleanType(), False)]
     )
-    staged = df
-    for f_ in evolved_fields:
-        if f_.name not in staged.columns:
-            staged = staged.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+    staged = align_to_fields(df, evolved_fields)
     if "op" not in staged.columns:
         staged = staged.withColumn("op", F.lit("U"))
     body = staged.select(
@@ -632,14 +699,18 @@ def reconcile_backfill(
         raise ValueError(f"corrected feed has events outside [{start}, {end})")
 
     # corrected winners: collapse the feed by its own order; D winners
-    # stay as tombstones (guards against pre-window stragglers)
-    evolved_names = [f.name for f in _business_fields(snap.schema())]
+    # stay as tombstones (guards against pre-window stragglers).
+    # Schema evolution follows the MERGE contract: new columns append,
+    # shared columns may widen, key-type changes are refused.
+    evolved_fields = evolve_fields(_business_fields(snap.schema()), corrected.schema, key_cols)
+    evolved_names = [f.name for f in evolved_fields]
+    evolved_schema = T.StructType(
+        evolved_fields + [T.StructField(DELETED_COL, T.BooleanType(), False)]
+    )
     feed = corrected
     if "op" not in feed.columns:
         feed = feed.withColumn("op", F.lit("U"))
-    for c in evolved_names:
-        if c not in feed.columns:
-            feed = feed.withColumn(c, F.lit(None).cast(snap.schema()[c].dataType))
+    feed = align_to_fields(feed, evolved_fields)
     feed = feed.select(*evolved_names, (F.col("op") == "D").alias(DELETED_COL))
     new_win = lww_collapse(feed, key_cols, order_cols)
     new_win.persist(StorageLevel.MEMORY_AND_DISK)
@@ -662,10 +733,7 @@ def reconcile_backfill(
             return res
 
         cur = table.read(spark, buckets=affected, include_deleted=True)
-        for c in evolved_names:
-            if c not in cur.columns:
-                cur = cur.withColumn(c, F.lit(None).cast(snap.schema()[c].dataType))
-        cur = cur.select(*evolved_names, DELETED_COL)
+        cur = align_to_fields(cur, evolved_fields).select(*evolved_names, DELETED_COL)
         # window rows are superseded wholesale; corrected keys win anywhere
         keep = cur.filter((F.col(tcol) < F.lit(start)) | (F.col(tcol) >= F.lit(end))).join(
             new_win.select(*key_cols), key_cols, "left_anti"
@@ -681,6 +749,7 @@ def reconcile_backfill(
             new_files=new_files,
             replaced_buckets=affected,
             expected_version=snap.version,
+            schema=evolved_schema,
             props_update={
                 _LEDGER_KEY: _trim_ledger(ledger, batch_key, 0, 0),
                 "delta_buckets": delta_buckets,

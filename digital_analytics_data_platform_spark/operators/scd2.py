@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from ..lake.merge import _LEDGER_MAX, _trim_ledger
+from ..lake.merge import _LEDGER_MAX, _trim_ledger, align_to_fields, evolve_fields
 from ..lake.table import DELETED_COL, LakeTable
 
 _SCD2_LEDGER_KEY = "scd2_ledger"
@@ -155,20 +155,15 @@ class Scd2Table:
             return snap.version
 
         key_cols, order_cols = snap.key_cols, snap.order_cols
-        # schema evolution: promote new payload columns
+        # schema evolution: new payload columns appended, shared columns
+        # may widen (int→long, float→double), key-type changes refused —
+        # same contract as merge_changes (lake/merge.py:evolve_fields)
         table_fields = [f for f in snap.schema().fields if f.name != DELETED_COL]
-        table_names = [f.name for f in table_fields]
-        new_fields = [
-            changes.schema[c] for c in changes.columns if c not in table_names
-        ]
-        evolved_fields = table_fields + [T.StructField(f.name, f.dataType, True) for f in new_fields]
+        evolved_fields = evolve_fields(table_fields, changes.schema, key_cols, exclude=())
         evolved_schema = T.StructType(
             evolved_fields + [T.StructField(DELETED_COL, T.BooleanType(), False)]
         )
-        staged = changes
-        for f_ in evolved_fields:
-            if f_.name not in staged.columns:
-                staged = staged.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+        staged = align_to_fields(changes, evolved_fields)
         if self.op_col not in staged.columns:
             staged = staged.withColumn(self.op_col, F.lit("U"))
 

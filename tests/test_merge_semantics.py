@@ -338,3 +338,110 @@ def test_ledger_trim_replayed_key_moves_to_back(monkeypatch):
     merge_mod._trim_ledger(ledger, "a", 0, 0)  # replay: now most recent
     merge_mod._trim_ledger(ledger, "d", 0, 0)  # evicts b (oldest), not a
     assert list(ledger) == ["c", "a", "d"]
+
+
+# ---- type-widening schema evolution (Iceberg promotion rules) ----------
+
+WIDEN_SCHEMA_INT = "op string, conv_id string, turn_idx int, score int, ts timestamp, lsn long"
+WIDEN_SCHEMA_LONG = "op string, conv_id string, turn_idx int, score long, ts timestamp, lsn long"
+
+
+def _widen_table(tmp_path, name):
+    from pyspark.sql import types as T
+
+    from digital_analytics_data_platform_spark.lake import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("score", T.IntegerType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("lsn", T.LongType()),
+        ]
+    )
+    return LakeTable.create(
+        str(tmp_path / name), schema, ["conv_id", "turn_idx"], ["ts", "lsn"], n_buckets=4
+    )
+
+
+def _w_rows(spark, schema, rows):
+    import datetime
+
+    base = datetime.datetime(2026, 1, 1)
+    return spark.createDataFrame(
+        [(op, c, t, s, base + datetime.timedelta(seconds=off), lsn) for op, c, t, s, off, lsn in rows],
+        schema,
+    )
+
+
+def test_type_widening_int_to_long(spark, tmp_path):
+    """A column arriving wider mid-stream (int→long) promotes the table
+    schema; old int32 files stay readable (scan-time upcast) — for both
+    write strategies."""
+    for strat in ("cow", "mor"):
+        tbl = _widen_table(tmp_path, f"w_{strat}")
+        merge_changes(
+            spark, tbl, _w_rows(spark, WIDEN_SCHEMA_INT, [("I", "c1", 0, 5, 10, 1)]),
+            batch_key="b1", strategy=strat,
+        )
+        merge_changes(
+            spark, tbl,
+            _w_rows(spark, WIDEN_SCHEMA_LONG, [("U", "c1", 0, 2**40, 20, 2), ("I", "c2", 0, 7, 20, 3)]),
+            batch_key="b2", strategy=strat,
+        )
+        got = {(r["conv_id"], r["turn_idx"]): r["score"] for r in tbl.read(spark).collect()}
+        assert got == {("c1", 0): 2**40, ("c2", 0): 7}, strat
+        assert tbl.snapshot().schema()["score"].dataType.simpleString() == "bigint", strat
+
+
+def test_narrower_batch_casts_up_without_demotion(spark, tmp_path):
+    """After promotion, a batch still sending int casts up; the table
+    schema never narrows back."""
+    tbl = _widen_table(tmp_path, "w_narrow")
+    merge_changes(spark, tbl, _w_rows(spark, WIDEN_SCHEMA_LONG, [("I", "c1", 0, 2**40, 10, 1)]), batch_key="b1")
+    assert tbl.snapshot().schema()["score"].dataType.simpleString() == "bigint"
+    merge_changes(spark, tbl, _w_rows(spark, WIDEN_SCHEMA_INT, [("U", "c1", 0, 9, 20, 2)]), batch_key="b2")
+    assert tbl.snapshot().schema()["score"].dataType.simpleString() == "bigint"
+    assert tbl.read(spark).collect()[0]["score"] == 9
+
+
+def test_key_column_type_change_refused(spark, tmp_path):
+    """Key types drive bucketing (binary-encoding hash): widening one
+    must fail loudly, never silently re-bucket."""
+    import pytest
+
+    tbl = _widen_table(tmp_path, "w_key")
+    bad = "op string, conv_id string, turn_idx long, score int, ts timestamp, lsn long"
+    with pytest.raises(ValueError, match="key column"):
+        merge_changes(spark, tbl, _w_rows(spark, bad, [("I", "c1", 0, 1, 10, 1)]), batch_key="b1")
+
+
+def test_incompatible_type_change_refused(spark, tmp_path):
+    import pytest
+
+    tbl = _widen_table(tmp_path, "w_bad")
+    bad = "op string, conv_id string, turn_idx int, score string, ts timestamp, lsn long"
+    import datetime
+
+    df = spark.createDataFrame(
+        [("I", "c1", 0, "oops", datetime.datetime(2026, 1, 1), 1)], bad
+    )
+    with pytest.raises(ValueError, match="incompatible type change"):
+        merge_changes(spark, tbl, df, batch_key="b1")
+
+
+def test_type_widening_through_reconcile(spark, tmp_path):
+    """The parameterized reconcile path honors the same promotion rules."""
+    import datetime
+
+    from digital_analytics_data_platform_spark.lake.merge import reconcile_backfill
+
+    tbl = _widen_table(tmp_path, "w_rec")
+    merge_changes(spark, tbl, _w_rows(spark, WIDEN_SCHEMA_INT, [("I", "c1", 0, 5, 10, 1)]), batch_key="b1")
+    start = datetime.datetime(2026, 1, 1)
+    end = start + datetime.timedelta(hours=1)
+    corrected = _w_rows(spark, WIDEN_SCHEMA_LONG, [("U", "c1", 0, 2**41, 30, 2)])
+    reconcile_backfill(spark, tbl, corrected, start, end, batch_key="rec1")
+    assert tbl.snapshot().schema()["score"].dataType.simpleString() == "bigint"
+    assert {r["score"] for r in tbl.read(spark).collect()} == {2**41}

@@ -180,3 +180,36 @@ def test_history_read_is_bucket_pruned(spark, tmp_path):
     all_files = {f["path"] for f in snap.files}
     kept = {f["path"] for f in snap.files if f["bucket"] == b}
     assert kept and kept != all_files
+
+
+def test_scd2_type_widening_mid_stream(spark, tmp_path):
+    """A payload column widening mid-stream (int→long) promotes the
+    history table schema; earlier event files upcast at read."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("score", T.IntegerType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("lsn", T.LongType()),
+        ]
+    )
+    t = Scd2Table.create(str(tmp_path / "w"), schema, KEYS, ORDER, n_buckets=4)
+    import datetime
+
+    base = datetime.datetime(2026, 1, 1)
+    narrow = spark.createDataFrame(
+        [("I", "c1", 0, 5, base, 1)],
+        "op string, conv_id string, turn_idx int, score int, ts timestamp, lsn long",
+    )
+    wide = spark.createDataFrame(
+        [("U", "c1", 0, 2**40, base + datetime.timedelta(seconds=10), 2)],
+        "op string, conv_id string, turn_idx int, score long, ts timestamp, lsn long",
+    )
+    t.apply_batch(spark, narrow, batch_key="b1")
+    t.apply_batch(spark, wide, batch_key="b2")
+    hist = {r["version_num"]: r["score"] for r in t.history(spark).collect()}
+    assert hist == {1: 5, 2: 2**40}
+    assert t.table.snapshot().schema()["score"].dataType.simpleString() == "bigint"

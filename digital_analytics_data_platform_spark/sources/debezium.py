@@ -86,11 +86,16 @@ def decode_envelopes(
         "_env", F.from_json(F.col(json_col), envelope_schema(row_schema), _JSON_OPTS)
     )
     img = F.when(F.col("_env.op") == "d", F.col("_env.before")).otherwise(F.col("_env.after"))
+    names = set(row_schema.fieldNames())
+    extras = []  # payload columns win the lsn/commit_lsn names when present
+    if "lsn" not in names:
+        extras.append(F.coalesce(F.col("_env.source.lsn"), F.col("_env.ts_ms")).alias("lsn"))
+    if "commit_lsn" not in names:
+        extras.append(F.col("_env.source.txId").alias("commit_lsn"))
     out = env.withColumn("_img", img).select(
         *[F.col(f"_img.{f.name}").alias(f.name) for f in row_schema.fields],
         _op_col(F.col("_env.op")).alias("op"),
-        F.coalesce(F.col("_env.source.lsn"), F.col("_env.ts_ms")).alias("lsn"),
-        F.col("_env.source.txId").alias("commit_lsn"),
+        *extras,
     )
     return out
 

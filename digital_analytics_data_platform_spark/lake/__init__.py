@@ -28,6 +28,12 @@ from .merge import (
     replace_full,
     MergeResult,
 )
+from .quarantine import (
+    QuarantineReplayResult,
+    list_quarantine_files,
+    read_quarantine,
+    replay_quarantine,
+)
 
 __all__ = [
     "LakeTable",
@@ -38,4 +44,8 @@ __all__ = [
     "reconcile_backfill",
     "replace_full",
     "MergeResult",
+    "QuarantineReplayResult",
+    "list_quarantine_files",
+    "read_quarantine",
+    "replay_quarantine",
 ]

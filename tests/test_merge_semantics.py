@@ -445,3 +445,78 @@ def test_type_widening_through_reconcile(spark, tmp_path):
     reconcile_backfill(spark, tbl, corrected, start, end, batch_key="rec1")
     assert tbl.snapshot().schema()["score"].dataType.simpleString() == "bigint"
     assert {r["score"] for r in tbl.read(spark).collect()} == {2**41}
+
+
+# ---- dead-letter (quarantine) replay ------------------------------------
+
+
+def test_quarantine_replay_after_fix(spark, make_table):
+    """Garbage rows (null keys) quarantine; after an operator fix they
+    re-merge through the normal path; unfixable rows re-quarantine and
+    nothing is lost or force-applied."""
+    from pyspark.sql import functions as F
+
+    from digital_analytics_data_platform_spark.lake import (
+        read_quarantine,
+        replay_quarantine,
+    )
+
+    tbl = make_table()
+    r = merge_changes(
+        spark,
+        tbl,
+        cdc_rows(
+            spark,
+            [
+                ("I", "c1", 0, "user", "good", None, 10, 1),
+                ("I", None, 1, "user", "lost conv_id c9", None, 20, 2),
+                ("I", None, None, "user", "hopeless", None, 30, 3),
+            ],
+        ),
+        batch_key="b1",
+    )
+    assert r.quarantined == 2
+    assert read_quarantine(spark, tbl).count() == 2
+
+    # incident fix: rows whose text names the conversation get the key back
+    def fix(df):
+        return df.withColumn(
+            "conv_id",
+            F.coalesce(F.col("conv_id"), F.regexp_extract("text", r"(c\d+)$", 1)),
+        ).withColumn("conv_id", F.when(F.col("conv_id") == "", None).otherwise(F.col("conv_id")))
+
+    res = replay_quarantine(spark, tbl, fix=fix, batch_key="quarantine:incident-1")
+    assert res.consumed_rows == 2 and res.requarantined == 1
+    assert state(spark, tbl) == {("c1", 0): "good", ("c9", 1): "lost conv_id c9"}
+    # the hopeless row is back in quarantine, not lost, not applied
+    leftover = read_quarantine(spark, tbl).collect()
+    assert len(leftover) == 1 and leftover[0]["text"] == "hopeless"
+
+
+def test_quarantine_replay_idempotent_and_empty(spark, make_table):
+    from digital_analytics_data_platform_spark.lake import replay_quarantine
+
+    tbl = make_table()
+    # empty DLQ: no-op
+    res = replay_quarantine(spark, tbl, batch_key="quarantine:none")
+    assert res.consumed_files == 0 and res.merge is None
+
+    merge_changes(
+        spark, tbl,
+        cdc_rows(spark, [("I", None, 0, "user", "bad", None, 10, 1)]),
+        batch_key="b1",
+    )
+    # no fix: the row re-quarantines; replaying again under the same key
+    # is ledger-skipped and must NOT delete the re-quarantined copy
+    # (the DLQ holds different rows than the batch that coined the key)
+    r1 = replay_quarantine(spark, tbl, batch_key="quarantine:retry")
+    assert r1.consumed_rows == 1 and r1.requarantined == 1
+    from digital_analytics_data_platform_spark.lake import read_quarantine
+
+    assert read_quarantine(spark, tbl).count() == 1
+    r2 = replay_quarantine(spark, tbl, batch_key="quarantine:retry")
+    assert r2.merge.skipped and read_quarantine(spark, tbl).count() == 1
+    # a NEW key converges: consumes the copy, re-quarantines it once
+    r3 = replay_quarantine(spark, tbl, batch_key="quarantine:retry-2")
+    assert r3.consumed_rows == 1 and r3.requarantined == 1
+    assert read_quarantine(spark, tbl).count() == 1

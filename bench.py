@@ -166,6 +166,7 @@ def run_apply_bench(
     gen_kw = dict(n_convs=max(1000, n_events // 1000), turns_per_conv=50, hot_key_frac=0.15)
     batch_walls = []
     batch_steals = []
+    batch_phases = []
     for i in range(n_batches):
         lo = i * n_events // n_batches
         hi = (i + 1) * n_events // n_batches
@@ -184,9 +185,12 @@ def run_apply_bench(
             batch = sliced
         t0 = time.monotonic()
         s0 = _steal_seconds()
-        merge_changes(spark, tbl, batch, batch_key=f"bench:{i}", strategy=strategy)
+        res = merge_changes(spark, tbl, batch, batch_key=f"bench:{i}", strategy=strategy)
         batch_walls.append(time.monotonic() - t0)
         batch_steals.append(_steal_seconds() - s0)
+        batch_phases.append(
+            {k: round(v, 3) for k, v in (getattr(res, "phase_walls", {}) or {}).items()}
+        )
         if seg_dir:
             shutil.rmtree(seg_dir, ignore_errors=True)
         if compact_every and (i + 1) % compact_every == 0:
@@ -227,6 +231,7 @@ def run_apply_bench(
         "apply_compact_steal_cpu_s": round(compact_steal, 1),
         "apply_compact_phase_walls_s": compact_walls,
         "apply_batch_walls_s": [round(w, 3) for w in batch_walls],
+        "apply_batch_phase_walls_s": batch_phases,
         "apply_events_per_sec_steady": round(steady_events / sum(steady), 1),
         "apply_events_per_sec_median": round(per_batch_events / med, 1),
         "apply_events_per_sec_total": round(n_events / sum(batch_walls), 1),

@@ -44,6 +44,7 @@ Iceberg ``write.distribution-mode=hash`` analog).
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Any
@@ -125,6 +126,30 @@ def evolve_fields(
         if c not in table_names and c not in exclude:
             evolved.append(T.StructField(c, incoming[c].dataType, True))
     return evolved
+
+
+def garbage_predicate(
+    schema: T.StructType, key_cols: list[str], order_cols: list[str], max_ts=None
+):
+    """The engine-wide definition of an unappliable change event: null
+    key or order values, negative integer keys, a null ``op`` (the wire
+    decoders emit null-op rows for garbage JSON / DDL / unknown op codes
+    — an event whose intent is unknown must never be applied), or an
+    order timestamp beyond the future-skew bound. Shared by the MERGE
+    kernel and the SCD2 history sink so "garbage" means the same thing
+    everywhere."""
+    bad = F.col(key_cols[0]).isNull()
+    for k in key_cols[1:]:
+        bad = bad | F.col(k).isNull()
+        if isinstance(schema[k].dataType, (T.IntegerType, T.LongType)):
+            bad = bad | (F.col(k) < 0)
+    for oc in order_cols:
+        bad = bad | F.col(oc).isNull()
+    if "op" in schema.fieldNames():
+        bad = bad | F.col("op").isNull()
+    if max_ts is not None:
+        bad = bad | (F.col(order_cols[0]) > F.lit(max_ts))
+    return bad
 
 
 def align_to_fields(df: DataFrame, fields: list[T.StructField]) -> DataFrame:
@@ -223,16 +248,7 @@ def merge_changes(
         staged = staged.withColumn("op", F.lit("U"))
 
     # ---- clean / quarantine / bucket ------------------------------------
-    bad = F.col(key_cols[0]).isNull()
-    for k in key_cols[1:]:
-        kf = staged.schema[k].dataType
-        bad = bad | F.col(k).isNull()
-        if isinstance(kf, (T.IntegerType, T.LongType)):
-            bad = bad | (F.col(k) < 0)
-    for oc in order_cols:
-        bad = bad | F.col(oc).isNull()
-    if max_ts is not None:
-        bad = bad | (F.col(order_cols[0]) > F.lit(max_ts))
+    bad = garbage_predicate(staged.schema, key_cols, order_cols, max_ts)
     bucket = F.when(bad, F.lit(-1)).otherwise(
         F.pmod(F.xxhash64(F.col(key_cols[0])), F.lit(snap.n_buckets)).cast("int")
     )
@@ -424,12 +440,25 @@ def _merge_mor(
     key_cols, order_cols = snap.key_cols, snap.order_cols
     evolved_names = [f.name for f in evolved_fields]
 
-    # NO persist of the staged batch: the write job consumes it exactly
-    # once (stats ride along as the Observation), and the only other
-    # consumer — the quarantine write — is scoped to the rare garbage
-    # rows and recomputes its O(batch) slice instead of paying a full
-    # multi-GB cache materialization per batch (measured: the cache was
-    # the I/O bottleneck at 16M-event batches).
+    # NO persist and NO second pass over the batch: the write job is the
+    # ONLY pass. Garbage rows (bucket -1) ride the SAME shuffle + write,
+    # landing in the ``_bucket=-1`` partition directory, whose files are
+    # then RENAMED into the quarantine DLQ instead of being committed —
+    # the earlier design recomputed the whole batch lineage to find the
+    # ~1% garbage, which at 32M-event generator batches cost 3× the
+    # write job itself (measured; see BASELINE.md round-4 notes).
+    #
+    # Garbage rows must not collapse with (or into) clean rows, so the
+    # LWW group key gains two columns: ``_bucket`` (clean rows: a pure
+    # function of the key, so no clean group splits; garbage rows: -1,
+    # isolating them from same-key clean rows — e.g. a future-ts event
+    # must never beat its key's clean version) and ``_gkey`` (a payload
+    # hash, 0 for clean rows, keeping DISTINCT garbage rows distinct
+    # while exact duplicate deliveries still collapse; a 64-bit
+    # collision between distinct same-key garbage rows is the accepted
+    # ~1e-9 risk). ``op`` is carried through the write so the DLQ files
+    # keep the original intent; table reads project the snapshot schema
+    # and never see the vestigial column.
     obs = Observation()
     staged_obs = staged.observe(
         obs,
@@ -438,13 +467,20 @@ def _merge_mor(
         fp_expr.alias("fp"),
         commit_expr.alias("maxc"),
     )
-    clean = staged_obs.filter(F.col("_bucket") >= 0)
-    batch_side = clean.select(*evolved_names, (F.col("op") == "D").alias(DELETED_COL))
-    winners = lww_collapse(batch_side, key_cols, order_cols).withColumn(
-        "_bucket", F.pmod(F.xxhash64(F.col(key_cols[0])), F.lit(snap.n_buckets)).cast("int")
+    gkey = F.when(
+        F.col("_bucket") == -1,
+        F.coalesce(F.xxhash64(*[F.col(c) for c in evolved_names], F.col("op")), F.lit(0)),
+    ).otherwise(F.lit(0))
+    batch_side = staged_obs.select(
+        *evolved_names,
+        "op",
+        (F.col("op") == "D").alias(DELETED_COL),
+        F.col("_bucket"),
+        gkey.alias("_gkey"),
     )
+    winners = lww_collapse(batch_side, [*key_cols, "_bucket", "_gkey"], order_cols)
     _, new_files = table.write_data_files(
-        winners.select(*evolved_names, DELETED_COL, "_bucket"),
+        winners.select(*evolved_names, "op", DELETED_COL, "_bucket"),
         write_salt=write_salt,
         extra_stats={"deletes": F.sum(F.col(DELETED_COL).cast("long"))},
     )
@@ -457,13 +493,18 @@ def _merge_mor(
     phases.update(getattr(table, "last_write_walls", {}))
     t_mark = time.monotonic()
 
-    if quarantine and n_quarantined:
-        (
-            staged.filter(F.col("_bucket") == -1)
-            .drop("_bucket")
-            .write.mode("append")
-            .parquet(table.quarantine_path())
-        )
+    # divert the _bucket=-1 files into the DLQ (rename, no data pass)
+    dlq_entries = [e for e in new_files if e["bucket"] == -1]
+    new_files = [e for e in new_files if e["bucket"] >= 0]
+    if dlq_entries:
+        qdir = table.quarantine_path()
+        os.makedirs(qdir, exist_ok=True)
+        for e in dlq_entries:
+            src = os.path.join(table.path, e["path"])
+            if quarantine:
+                os.rename(src, os.path.join(qdir, os.path.basename(e["path"])))
+            else:
+                os.remove(src)
     phases["quarantine"] = time.monotonic() - t_mark
 
     # per-bucket lineage from the file-stats entries (strip the ride-

@@ -57,7 +57,12 @@ def read_quarantine(spark: SparkSession, table: LakeTable) -> DataFrame:
     """The current dead-letter contents (empty frame if none).
 
     Quarantined rows carry the change-event shape (business columns +
-    ``op``), not the table shape — they never made it past staging."""
+    ``op``), not the table shape — they never made it past staging.
+    Files from different write paths differ slightly (the MOR one-pass
+    divert adds the internal deleted flag; COW-era files may carry
+    ``commit_lsn``), so the read merges schemas and strips internals."""
+    from .table import DELETED_COL
+
     files = list_quarantine_files(table)
     if not files:
         from pyspark.sql import types as T
@@ -68,7 +73,7 @@ def read_quarantine(spark: SparkSession, table: LakeTable) -> DataFrame:
         return spark.createDataFrame(
             [], T.StructType(fields + [T.StructField("op", T.StringType(), True)])
         )
-    return spark.read.parquet(*files)
+    return spark.read.option("mergeSchema", "true").parquet(*files).drop(DELETED_COL)
 
 
 def replay_quarantine(
@@ -91,10 +96,12 @@ def replay_quarantine(
     ``"quarantine:<incident-id>"``).
     """
     t0 = time.monotonic()
+    from .table import DELETED_COL
+
     files = list_quarantine_files(table)
     if not files:
         return QuarantineReplayResult(0, 0, 0, None, wall_s=time.monotonic() - t0)
-    df = spark.read.parquet(*files)
+    df = spark.read.option("mergeSchema", "true").parquet(*files).drop(DELETED_COL)
     if fix is not None:
         df = fix(df)
     res = merge_changes(

@@ -44,7 +44,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from ..lake.merge import _LEDGER_MAX, _trim_ledger, align_to_fields, evolve_fields
+from ..lake.merge import (
+    _LEDGER_MAX,
+    _trim_ledger,
+    align_to_fields,
+    evolve_fields,
+    garbage_predicate,
+)
 from ..lake.table import DELETED_COL, LakeTable
 
 _SCD2_LEDGER_KEY = "scd2_ledger"
@@ -144,6 +150,8 @@ class Scd2Table:
         *,
         batch_key: str | None = None,
         write_salt: int = 1,
+        quarantine: bool = True,
+        max_ts=None,
     ) -> int:
         """Append one micro-batch of raw change events. O(batch): no
         existing file is read or rewritten. Returns the new snapshot
@@ -167,19 +175,35 @@ class Scd2Table:
         if self.op_col not in staged.columns:
             staged = staged.withColumn(self.op_col, F.lit("U"))
 
-        ok = F.col(key_cols[0]).isNotNull()
-        for k in key_cols[1:]:
-            ok = ok & F.col(k).isNotNull()
-        for oc in order_cols:
-            ok = ok & F.col(oc).isNotNull()
-        staged = staged.filter(ok).withColumn(
+        # same garbage definition as the MERGE kernel; rejects go to the
+        # history table's own DLQ (never dropped silently — P3
+        # discipline). One pass: garbage rows ride the same write into
+        # the _bucket=-1 partition directory and those files are RENAMED
+        # into the DLQ instead of committed (the kernel's MOR shape).
+        import os
+
+        bad = garbage_predicate(staged.schema, key_cols, order_cols, max_ts)
+        staged = staged.withColumn(
             "_bucket",
-            F.pmod(F.xxhash64(F.col(key_cols[0])), F.lit(snap.n_buckets)).cast("int"),
+            F.when(bad, F.lit(-1)).otherwise(
+                F.pmod(F.xxhash64(F.col(key_cols[0])), F.lit(snap.n_buckets)).cast("int")
+            ),
         )
         staged = staged.select(
             *[f.name for f in evolved_fields], F.lit(False).alias(DELETED_COL), "_bucket"
         )
         commit_dir, entries = self.table.write_data_files(staged, write_salt=write_salt)
+        dlq = [e for e in entries if e["bucket"] == -1]
+        entries = [e for e in entries if e["bucket"] >= 0]
+        if dlq:
+            qdir = self.table.quarantine_path()
+            os.makedirs(qdir, exist_ok=True)
+            for e in dlq:
+                src = os.path.join(self.table.path, e["path"])
+                if quarantine:
+                    os.rename(src, os.path.join(qdir, os.path.basename(e["path"])))
+                else:
+                    os.remove(src)
         self.table.commit(
             new_files=entries,
             expected_version=snap.version,

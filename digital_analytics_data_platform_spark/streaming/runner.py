@@ -62,11 +62,37 @@ def apply_stream(
     await_termination: bool = True,
     strategy: str = "cow",
     compact_every: int = 0,
+    history_path: str | None = None,
 ):
     """Run the CDC apply as a streaming query. Returns
     ``(query, StreamMetrics)`` — metrics are populated only after the
-    query terminates (use ``available_now`` for replay jobs)."""
+    query terminates (use ``available_now`` for replay jobs).
+
+    ``history_path``: optional dual sink — each micro-batch ALSO
+    appends to an :class:`~..operators.scd2.Scd2Table` at that path
+    (created on first use from the stream's business schema), so one
+    pass over the feed maintains the Type-1 current state AND the
+    Type-2 version history. Each sink keeps its own ledger under the
+    same ``pipeline_id:batchId`` key: a crash between the two commits
+    replays the batch and each sink independently skips or applies —
+    the pair converges without cross-sink coordination."""
     table = LakeTable.load(table_path)
+    scd2 = None
+    if history_path is not None:
+        from ..operators.scd2 import Scd2Table
+
+        if LakeTable.exists(history_path):
+            scd2 = Scd2Table.load(history_path)
+        else:
+            snap = table.snapshot()
+            import pyspark.sql.types as T
+
+            from ..lake.table import DELETED_COL
+
+            business = T.StructType([f for f in snap.schema().fields if f.name != DELETED_COL])
+            scd2 = Scd2Table.create(
+                history_path, business, snap.key_cols, snap.order_cols, n_buckets=snap.n_buckets
+            )
     metrics = StreamMetrics()
     metrics_path = metrics_dir or os.path.join(table_path, "metrics")
     os.makedirs(metrics_path, exist_ok=True)
@@ -91,6 +117,10 @@ def apply_stream(
             metrics.upserts += res.upserts
             metrics.updates += res.updates
             metrics.deletes += res.deletes
+        if scd2 is not None:
+            scd2.apply_batch(
+                spark, batch_df, batch_key=f"{pipeline_id}:{batch_id}", write_salt=write_salt
+            )
         if compact_every and not res.skipped and metrics.batches % compact_every == 0:
             compact(spark, table, write_salt=write_salt)
         rec = {"pipeline_id": pipeline_id, "batch_id": batch_id, **asdict(res)}

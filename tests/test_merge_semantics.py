@@ -520,3 +520,29 @@ def test_quarantine_replay_idempotent_and_empty(spark, make_table):
     r3 = replay_quarantine(spark, tbl, batch_key="quarantine:retry-2")
     assert r3.consumed_rows == 1 and r3.requarantined == 1
     assert read_quarantine(spark, tbl).count() == 1
+
+
+def test_null_op_rows_quarantine_not_vanish(spark, make_table):
+    """A row whose op is NULL (wire decoders emit these for garbage
+    JSON / DDL / unknown op codes) must be quarantined — it previously
+    slipped through as deleted=NULL and silently vanished from reads."""
+    from pyspark.sql import functions as F
+
+    from digital_analytics_data_platform_spark.lake import read_quarantine
+
+    for strat in ("mor", "cow"):
+        tbl = make_table(name=f"nullop_{strat}")
+        batch = cdc_rows(
+            spark,
+            [
+                ("I", "c1", 0, "user", "good", None, 10, 1),
+                ("I", "c1", 1, "user", "intent unknown", None, 20, 2),
+            ],
+        ).withColumn(
+            "op", F.when(F.col("text") == "intent unknown", None).otherwise(F.col("op"))
+        )
+        r = merge_changes(spark, tbl, batch, batch_key="b1", strategy=strat)
+        assert r.quarantined == 1, strat
+        assert state(spark, tbl) == {("c1", 0): "good"}, strat
+        q = read_quarantine(spark, tbl).collect()
+        assert len(q) == 1 and q[0]["text"] == "intent unknown", strat

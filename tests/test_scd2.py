@@ -213,3 +213,59 @@ def test_scd2_type_widening_mid_stream(spark, tmp_path):
     hist = {r["version_num"]: r["score"] for r in t.history(spark).collect()}
     assert hist == {1: 5, 2: 2**40}
     assert t.table.snapshot().schema()["score"].dataType.simpleString() == "bigint"
+
+
+def test_streaming_dual_sink_history(spark, tmp_path):
+    """One checkpointed stream maintains BOTH the Type-1 table and the
+    SCD2 history (history_path dual sink); resume applies only new
+    segments to both; the history equals the batch recompute of the
+    full log and current() equals the Type-1 state."""
+    from pyspark.sql import functions as F
+
+    from digital_analytics_data_platform_spark import datagen
+    from digital_analytics_data_platform_spark.streaming.runner import apply_stream
+    from digital_analytics_data_platform_spark.streaming.source import (
+        cdc_file_stream,
+        write_log_segments,
+    )
+
+    n = 4000
+    full_log = datagen.change_log(spark, n * 2, n_convs=60, turns_per_conv=10)
+    first = full_log.filter(F.col("lsn") < n)
+    second = full_log.filter(F.col("lsn") >= n)
+    log_dir = str(tmp_path / "cdclog")
+    write_log_segments(first, log_dir, n_segments=3)
+
+    tbl = LakeTable.create(
+        str(tmp_path / "state"), TRANSCRIPT_SCHEMA, KEYS, ORDER, n_buckets=8
+    )
+    hist_path = str(tmp_path / "history")
+    ckpt = str(tmp_path / "ckpt")
+
+    src = cdc_file_stream(spark, log_dir, max_files_per_trigger=1)
+    apply_stream(spark, src, tbl.path, ckpt, pipeline_id="b", history_path=hist_path)
+    write_log_segments(second, log_dir, n_segments=2)
+    src2 = cdc_file_stream(spark, log_dir, max_files_per_trigger=1)
+    apply_stream(spark, src2, tbl.path, ckpt, pipeline_id="b", history_path=hist_path)
+
+    t = Scd2Table.load(hist_path)
+    # history == batch recompute of the full log (keys with only garbage
+    # rows never reach either sink; merge quarantines, scd2 drops)
+    valid = full_log.filter(
+        F.col("conv_id").isNotNull()
+        & F.col("turn_idx").isNotNull()
+        & (F.col("turn_idx") >= 0)
+        & F.col("ts").isNotNull()
+        & F.col("lsn").isNotNull()
+    )
+    expect = scd2_from_log(
+        valid.select("op", "conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn"),
+        KEYS,
+        ORDER,
+    )
+    hist = t.history(spark)
+    assert chains(hist) == chains(expect)
+    # current() == Type-1 state
+    cur = {(r["conv_id"], r["turn_idx"]): r["text"] for r in t.current(spark).collect()}
+    t1 = {(r["conv_id"], r["turn_idx"]): r["text"] for r in tbl.read(spark).collect()}
+    assert cur == t1 and len(t1) > 0

@@ -5,5 +5,13 @@ search, text analysis, multimodal plumbing)."""
 
 from .dedupe import dedupe_lww, dedupe_lww_window, dedupe_lww_salted
 from .asof import asof_join
+from .patch import PatchTable, patch_collapse
 
-__all__ = ["dedupe_lww", "dedupe_lww_window", "dedupe_lww_salted", "asof_join"]
+__all__ = [
+    "dedupe_lww",
+    "dedupe_lww_window",
+    "dedupe_lww_salted",
+    "asof_join",
+    "PatchTable",
+    "patch_collapse",
+]

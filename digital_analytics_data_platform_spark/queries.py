@@ -2198,6 +2198,55 @@ FROM events
 """
 
 
+def q_patch_merge(spark, sf_dir):
+    """Partial-update merge: sparse CDC patches (each event sets only a
+    subset of payload columns; delete clears the row) collapsed
+    column-wise latest-non-null — the table-semantics promotion of the
+    reference's per-metric ``ARRAY_AGG(col IGNORE NULLS … DESC LIMIT
+    1)`` idiom (``sql/02_SDI_SA360/03_GOLD/MERGE/01_sp_merge_sdi_gold_
+    sa360_campaign_weekly.sql``; Paimon merge-engine=partial-update
+    parity). Sparse log synthesized deterministically from events:
+    op from event_id % 5, each payload column present only on its
+    own event_id residue class. Oracle: per-column ``arg_max …
+    FILTER`` + delete masking (SQL_PATCH_MERGE)."""
+    from .operators.patch import patch_collapse
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    log = ev.select(
+        F.col("user_id").alias("uid"),
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_id") % 5 == 4, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.when(F.col("event_id") % 3 == 0, F.col("value")).alias("p_value"),
+        F.when(F.col("event_id") % 2 == 0, F.col("event_type")).alias("p_type"),
+    )
+    return patch_collapse(log, ["uid"], "lsn", ["p_value", "p_type"])
+
+
+SQL_PATCH_MERGE = """
+WITH log AS (
+  SELECT user_id AS uid, event_id AS lsn,
+         CASE WHEN event_id % 5 = 4 THEN 'D' ELSE 'U' END AS op,
+         CASE WHEN event_id % 3 = 0 THEN value END AS p_value,
+         CASE WHEN event_id % 2 = 0 THEN event_type END AS p_type
+  FROM events
+), agg AS (
+  SELECT uid,
+    max(lsn) FILTER (WHERE op = 'D') AS del_o,
+    max(lsn) FILTER (WHERE op <> 'D') AS live_o,
+    arg_max(p_value, lsn) FILTER (WHERE op <> 'D' AND p_value IS NOT NULL) AS v_value,
+    max(lsn) FILTER (WHERE op <> 'D' AND p_value IS NOT NULL) AS o_value,
+    arg_max(p_type, lsn) FILTER (WHERE op <> 'D' AND p_type IS NOT NULL) AS v_type,
+    max(lsn) FILTER (WHERE op <> 'D' AND p_type IS NOT NULL) AS o_type
+  FROM log GROUP BY uid
+)
+SELECT uid,
+  CASE WHEN del_o IS NULL OR o_value > del_o THEN v_value END AS p_value,
+  CASE WHEN del_o IS NULL OR o_type > del_o THEN v_type END AS p_type
+FROM agg
+WHERE live_o IS NOT NULL AND (del_o IS NULL OR live_o > del_o)
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     """No SQL oracle (mapInPandas feature extraction); deterministic
     fake-decode covered by tests. Scalar columns only — the feature
@@ -2300,6 +2349,15 @@ PYTEST_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,  # fake-decode plumbing; real codecs in REGISTRY
     "multimodal_png": q_multimodal_png,  # merged into multimodal_roundtrip
     "multimodal_jpeg": q_multimodal_jpeg,  # merged into multimodal_roundtrip
+    "patch_merge": q_patch_merge,  # oracle-checked in pytest (EXTRA_ORACLES)
+}
+
+# Oracles for PYTEST_ONLY entries: same DuckDB gate, run by
+# tests/test_registry_extras.py instead of the driver (the 50-row
+# window is full). Evidence strength is identical — exact value
+# compare at sf0.001 and sf0.01.
+EXTRA_ORACLES: dict[str, str] = {
+    "patch_merge": SQL_PATCH_MERGE,
 }
 
 ORACLES: dict[str, str] = {

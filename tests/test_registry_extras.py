@@ -11,7 +11,12 @@ from __future__ import annotations
 
 import pytest
 
-from digital_analytics_data_platform_spark.queries import ORACLES, PYTEST_ONLY, REGISTRY
+from digital_analytics_data_platform_spark.queries import (
+    EXTRA_ORACLES,
+    ORACLES,
+    PYTEST_ONLY,
+    REGISTRY,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -31,6 +36,40 @@ def test_registry_fits_driver_window():
         "belong in PYTEST_ONLY"
     )
     assert not set(REGISTRY) & set(PYTEST_ONLY)
+    assert set(EXTRA_ORACLES) <= set(PYTEST_ONLY), (
+        "EXTRA_ORACLES keys must be PYTEST_ONLY entries (in-window "
+        "entries are gated by the driver via ORACLES)"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(EXTRA_ORACLES))
+def test_pytest_only_oracle_match(spark, name):
+    """Same gate as the driver (scripts/check_oracles.py), run here for
+    oracle-bearing entries that don't fit the 50-row window."""
+    import duckdb
+
+    got = PYTEST_ONLY[name](spark, SF_DIR).toPandas()
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    exp = con.sql(EXTRA_ORACLES[name]).df()
+
+    def norm(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        for c in df.columns:
+            if str(df[c].dtype).startswith("datetime"):
+                df[c] = df[c].astype("datetime64[us]").astype(str)
+            elif df[c].dtype == object:
+                df[c] = df[c].astype(str)
+            elif str(df[c].dtype).startswith("float"):
+                df[c] = df[c].round(6)
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    g, e = norm(got), norm(exp)
+    assert list(g.columns) == list(e.columns), name
+    assert len(g) == len(e), f"{name}: rows {len(g)} vs {len(e)}"
+    neq = (g != e) & ~(g.isna() & e.isna())
+    assert not neq.any().any(), f"{name}: {neq.any(axis=1).sum()} rows differ"
 
 
 @pytest.mark.parametrize("name", sorted(PYTEST_ONLY))

@@ -39,7 +39,7 @@ os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
 
 COPY_MB = 128
 SPIN_KB = 8
-SECONDS = 3.0
+SECONDS = 8.0
 
 
 def _copy_worker(start_at: float, dur: float, out):
@@ -47,6 +47,7 @@ def _copy_worker(start_at: float, dur: float, out):
 
     src = np.random.default_rng(0).random(COPY_MB * 1024 * 1024 // 8)
     dst = np.empty_like(src)
+    np.copyto(dst, src)  # fault dst's pages BEFORE the timed window
     while time.monotonic() < start_at:
         pass
     n = 0
@@ -76,7 +77,10 @@ def _spin_worker(start_at: float, dur: float, out):
 
 def run_level(worker, nproc: int) -> float:
     q = mp.Queue()
-    start_at = time.monotonic() + 1.0 + 0.15 * nproc  # barrier after warmup/alloc
+    # barrier AFTER per-process numpy import + 128 MB alloc + warmup
+    # copy (~1s each, staggered by spawn) — a start time already in the
+    # past would skew the aggregate window
+    start_at = time.monotonic() + 3.0 + 0.3 * nproc
     ps = [mp.Process(target=worker, args=(start_at, SECONDS, q)) for _ in range(nproc)]
     for p in ps:
         p.start()

@@ -22,6 +22,12 @@ Env knobs:
   BENCH_PIPELINE_EVENTS(default 300_000 over 3 batches) medallion bench
   BENCH_PIPELINE_BIG_EVENTS (default 1_000_000, one batch) amortization
                        proof run; 0 disables
+  BENCH_APPLY_KERNEL_EVENTS (default 24_000_000 over 3 batches) big-batch
+                       generate-feed apply — records the kernel's
+                       post-JIT sustained rate (apply_kernel_*), which
+                       the small-batch parquet-feed headline understates
+                       by ~6× (fixed per-batch cost + single-disk feed
+                       reads dominate at 400k-event batches); 0 disables
 """
 
 from __future__ import annotations
@@ -399,6 +405,32 @@ def main() -> None:
         big = run_pipeline_bench(spark, big_events, 1, pipe_buckets)
         pipeline_stats.update({f"pipeline_big_{k.removeprefix('pipeline_')}": v for k, v in big.items()})
 
+    # kernel-rate measurement (generate feed, big batches, lake on tmpfs
+    # when available): the small-batch parquet-feed headline above is
+    # dominated by fixed per-batch cost and single-disk feed reads at
+    # 400k-event batches; this records the post-JIT sustained kernel
+    # rate the scaling anchors are measured at (~1M ev/s on 16 cores).
+    kernel_events = int(os.environ.get("BENCH_APPLY_KERNEL_EVENTS", "24000000"))
+    kernel_stats: dict = {}
+    if kernel_events > 0:
+        prev_tmpdir = tempfile.tempdir
+        kernel_tmpfs = os.path.isdir("/dev/shm")
+        if kernel_tmpfs:
+            os.makedirs("/dev/shm/bench_kernel", exist_ok=True)
+            tempfile.tempdir = "/dev/shm/bench_kernel"
+        try:
+            k = run_apply_bench(
+                spark, kernel_events, 3, n_buckets, strategy="mor", feed="generate"
+            )
+        finally:
+            tempfile.tempdir = prev_tmpdir
+            if kernel_tmpfs:
+                shutil.rmtree("/dev/shm/bench_kernel", ignore_errors=True)
+        kernel_stats = {
+            f"apply_kernel_{key.removeprefix('apply_')}": v for key, v in k.items()
+        }
+        kernel_stats["apply_kernel_tmpfs"] = kernel_tmpfs
+
     # per-query wall AND hypervisor steal (this VM loses CPU to the host
     # in multi-minute bursts — r1's published minhash number was ~16×
     # inflated by one such stall; the steal column makes that legible)
@@ -434,6 +466,7 @@ def main() -> None:
         "cpus": cpus,
         **apply_stats,
         **pipeline_stats,
+        **kernel_stats,
     }
     print(json.dumps(out))
     spark.stop()

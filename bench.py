@@ -136,6 +136,8 @@ def run_apply_bench(
     strategy: str = "mor",
     compact_every: int = 0,
     feed: str | None = None,
+    warmup: int | str = 0,
+    steal_retry: int = 0,
 ) -> dict:
     """CDC apply replay. ``strategy='mor'`` is the sustained-throughput
     production path (O(batch) appends + read-time LWW); a final compact
@@ -148,7 +150,22 @@ def run_apply_bench(
     virtio disk this is I/O-bound at ≥8 cores. ``'generate'`` feeds the
     apply directly from the column-expression generator — a CPU-rich
     configuration that shows compute scaling across parallelism levels
-    (a stand-in for pipelines whose transform stage dominates I/O)."""
+    (a stand-in for pipelines whose transform stage dominates I/O).
+
+    ``warmup``: untimed JIT warm-up batches before the timed loop —
+    an int count, or ``"auto"`` to keep warming until the batch wall
+    improves <10% batch-over-batch (max 4). Warm-up replays slice 0
+    under throwaway batch keys (idempotent under read-time LWW), so the
+    timed batches measure the post-C2 steady state the metric's
+    "sustained" wording refers to: a fresh JVM spends its first ~40-60s
+    compiling, which contaminates proportionally MORE of a run whose
+    per-batch wall is 4x shorter — the r4 4->16 scaling run read 0.66
+    raw for a job whose post-JIT batches scale at ~0.83.
+
+    ``steal_retry``: re-run up to this many timed batches whose
+    hypervisor steal exceeds STEAL_VALID_CPU_S (replaying the same
+    slice under a fresh batch key — idempotent), keeping the cleaner
+    measurement. Retries are disclosed via apply_batch_retries."""
     from pyspark.sql import types as T
 
     from digital_analytics_data_platform_spark.lake import compact as compact_fn
@@ -173,9 +190,8 @@ def run_apply_bench(
     batch_walls = []
     batch_steals = []
     batch_phases = []
-    for i in range(n_batches):
-        lo = i * n_events // n_batches
-        hi = (i + 1) * n_events // n_batches
+
+    def one_batch(lo: int, hi: int, key: str) -> tuple[float, float, dict]:
         # O(batch) slice — does NOT rescan the whole log per batch
         sliced = datagen.change_log(spark, n_events, id_range=(lo, hi), **gen_kw)
         seg_dir = None
@@ -183,7 +199,7 @@ def run_apply_bench(
             # Land the batch as parquet segments first (untimed) — the
             # real pipeline tails a binlog landing zone, so the APPLY is
             # what's measured, reading files.
-            seg_dir = f"{tmp}/seg_{i}"
+            seg_dir = f"{tmp}/seg_{key.replace(':', '_')}"
             sliced.write.mode("overwrite").parquet(seg_dir)
             batch = spark.read.parquet(seg_dir)
             os.sync()  # flush landing dirty pages OUTSIDE the timed window
@@ -191,16 +207,50 @@ def run_apply_bench(
             batch = sliced
         t0 = time.monotonic()
         s0 = _steal_seconds()
-        res = merge_changes(spark, tbl, batch, batch_key=f"bench:{i}", strategy=strategy)
-        batch_walls.append(time.monotonic() - t0)
-        batch_steals.append(_steal_seconds() - s0)
-        batch_phases.append(
-            {k: round(v, 3) for k, v in (getattr(res, "phase_walls", {}) or {}).items()}
-        )
+        res = merge_changes(spark, tbl, batch, batch_key=key, strategy=strategy)
+        wall = time.monotonic() - t0
+        steal = _steal_seconds() - s0
+        phases = {k: round(v, 3) for k, v in (getattr(res, "phase_walls", {}) or {}).items()}
         if seg_dir:
             shutil.rmtree(seg_dir, ignore_errors=True)
+        return wall, steal, phases
+
+    # JIT warm-up: replay slice 0 untimed until the wall stabilizes
+    per_batch = n_events // n_batches
+    warmup_walls: list[float] = []
+    n_warm = 4 if warmup == "auto" else int(warmup or 0)
+    for w in range(n_warm):
+        wall, _, _ = one_batch(0, per_batch, f"warmup:{w}")
+        prev = warmup_walls[-1] if warmup_walls else None
+        warmup_walls.append(round(wall, 3))
+        if warmup == "auto" and prev is not None and wall >= 0.9 * prev:
+            break
+
+    for i in range(n_batches):
+        lo = i * n_events // n_batches
+        hi = (i + 1) * n_events // n_batches
+        wall, steal, phases = one_batch(lo, hi, f"bench:{i}")
+        batch_walls.append(wall)
+        batch_steals.append(steal)
+        batch_phases.append(phases)
         if compact_every and (i + 1) % compact_every == 0:
             compact_fn(spark, tbl)
+
+    # steal-gated retries: replay the dirtiest batches under fresh keys
+    # (idempotent) and keep the cleaner window, disclosing the retry
+    retries = 0
+    for i in range(n_batches):
+        if retries >= steal_retry:
+            break
+        if batch_steals[i] > STEAL_VALID_CPU_S:
+            retries += 1
+            wall, steal, phases = one_batch(
+                i * n_events // n_batches,
+                (i + 1) * n_events // n_batches,
+                f"retry{retries}:{i}",
+            )
+            if steal < batch_steals[i]:
+                batch_walls[i], batch_steals[i], batch_phases[i] = wall, steal, phases
     t0 = time.monotonic()
     s0 = _steal_seconds()
     compact_rows = compact_fn(spark, tbl) if strategy == "mor" else 0
@@ -216,8 +266,10 @@ def run_apply_bench(
     # holds the final BATCH merge's walls
     compact_walls = dict(getattr(tbl, "last_write_walls", {}) or {}) if compact_rows else {}
     shutil.rmtree(tmp, ignore_errors=True)
-    steady = batch_walls[1:] if len(batch_walls) > 1 else batch_walls
-    steady_events = n_events - n_events // n_batches if len(batch_walls) > 1 else n_events
+    # with explicit warm-up, every timed batch is already steady
+    drop_first = not warmup_walls and len(batch_walls) > 1
+    steady = batch_walls[1:] if drop_first else batch_walls
+    steady_events = n_events - n_events // n_batches if drop_first else n_events
     # median batch wall is the sustained-rate estimator: this sandbox VM
     # shows sporadic multi-minute host stalls (observed 9s→130s for
     # identical batches), and the median is robust to them while the
@@ -237,6 +289,8 @@ def run_apply_bench(
         "apply_compact_steal_cpu_s": round(compact_steal, 1),
         "apply_compact_phase_walls_s": compact_walls,
         "apply_batch_walls_s": [round(w, 3) for w in batch_walls],
+        "apply_warmup_walls_s": warmup_walls,
+        "apply_batch_retries": retries,
         "apply_batch_phase_walls_s": batch_phases,
         "apply_events_per_sec_steady": round(steady_events / sum(steady), 1),
         "apply_events_per_sec_median": round(per_batch_events / med, 1),

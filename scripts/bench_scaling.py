@@ -72,7 +72,15 @@ if os.environ.get("BENCH_TMPFS", "1") == "1":
 # sizing discipline; same reason the 100 TB deployment over-partitions)
 spark = get_spark("scaling-bench", master=f"local[{{cpus}}]", shuffle_partitions=max(cpus * 4, 16), extra_conf=extra)
 spark.range(1).count()
-stats = run_apply_bench(spark, n_events, n_batches, 64, strategy=strategy, feed=feed)
+# warmup="auto": untimed batches until the wall stabilizes (<10%
+# improvement) — a fresh JVM spends its first ~40-60s in C2
+# compilation, which contaminates proportionally more of the level
+# whose per-batch wall is 4x shorter (the r4 raw-0.66 artifact);
+# steal_retry: replay steal-stormed batches under fresh keys
+stats = run_apply_bench(
+    spark, n_events, n_batches, 64, strategy=strategy, feed=feed,
+    warmup="auto", steal_retry=n_batches,
+)
 print("RESULT " + json.dumps(stats))
 spark.stop()
 """
@@ -108,13 +116,19 @@ def main():
 
     def merged(levels: list[dict]) -> dict:
         out = dict(levels[0])
-        for key in ("apply_batch_walls_s", "apply_batch_steal_cpu_s", "apply_batch_phase_walls_s"):
+        for key in (
+            "apply_batch_walls_s",
+            "apply_batch_steal_cpu_s",
+            "apply_batch_phase_walls_s",
+            "apply_warmup_walls_s",
+        ):
             vals = []
-            for i, lv in enumerate(levels):
-                v = lv.get(key) or []
-                # drop each round's warmup batch (fresh JVM per round)
-                vals.extend(v[1:] if len(v) > 1 else v)
+            for lv in levels:
+                # every timed batch is steady: the runner does explicit
+                # JIT warm-up (warmup="auto") before the timed loop
+                vals.extend(lv.get(key) or [])
             out[key] = vals
+        out["apply_batch_retries"] = sum(lv.get("apply_batch_retries", 0) for lv in levels)
         return out
 
     small_runs, big_runs = [], []
@@ -127,8 +141,6 @@ def main():
     def median_tps(level, cpus, adjust: bool):
         walls = level["apply_batch_walls_s"]
         steals = level.get("apply_batch_steal_cpu_s") or [0.0] * len(walls)
-        if rounds == 1 and len(walls) > 1:
-            walls, steals = walls[1:], steals[1:]  # single-run warmup drop
         if adjust:
             walls = [max(w - s / cpus, 0.05 * w) for w, s in zip(walls, steals)]
         med = sorted(walls)[len(walls) // 2]
@@ -172,6 +184,10 @@ def main():
         "big_batch_phase_walls_s": big.get("apply_batch_phase_walls_s"),
         "small_compact_wall_s": small.get("apply_compact_wall_s"),
         "big_compact_wall_s": big.get("apply_compact_wall_s"),
+        "small_warmup_walls_s": small.get("apply_warmup_walls_s"),
+        "big_warmup_walls_s": big.get("apply_warmup_walls_s"),
+        "small_batch_retries": small.get("apply_batch_retries"),
+        "big_batch_retries": big.get("apply_batch_retries"),
     }
     print(json.dumps(report, indent=2))
 

@@ -138,6 +138,7 @@ def run_apply_bench(
     feed: str | None = None,
     warmup: int | str = 0,
     steal_retry: int = 0,
+    gen_overrides: dict | None = None,
 ) -> dict:
     """CDC apply replay. ``strategy='mor'`` is the sustained-throughput
     production path (O(batch) appends + read-time LWW); a final compact
@@ -187,6 +188,7 @@ def run_apply_bench(
     )
     feed = feed or os.environ.get("BENCH_FEED", "parquet")
     gen_kw = dict(n_convs=max(1000, n_events // 1000), turns_per_conv=50, hot_key_frac=0.15)
+    gen_kw.update(gen_overrides or {})  # e.g. hot_key_frac sweeps (bench_skew)
     batch_walls = []
     batch_steals = []
     batch_phases = []

@@ -476,7 +476,8 @@ def main() -> None:
             tempfile.tempdir = "/dev/shm/bench_kernel"
         try:
             k = run_apply_bench(
-                spark, kernel_events, 3, n_buckets, strategy="mor", feed="generate"
+                spark, kernel_events, 3, n_buckets, strategy="mor", feed="generate",
+                warmup="auto", steal_retry=3,
             )
         finally:
             tempfile.tempdir = prev_tmpdir

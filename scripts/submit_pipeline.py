@@ -33,7 +33,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--feed-dir", required=True, help="change-feed directory to tail")
+    ap.add_argument("--feed-dir", required=True,
+                    help="change-feed directory to tail — the directory holding the "
+                         "parquet/JSON files themselves, or a glob like '/feed/seg_*' "
+                         "when segments land one directory each (the file stream does "
+                         "not recurse; a parent dir of segment subdirs matches 0 files)")
     ap.add_argument("--lake-dir", required=True, help="medallion table root")
     ap.add_argument("--checkpoint-dir", required=True)
     ap.add_argument("--wire-format", choices=["parquet", "json"], default="parquet",

@@ -54,7 +54,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
-from .table import DELETED_COL, LakeTable, lww_collapse
+from .table import DELETED_COL, CommitConflict, LakeTable, lww_collapse
 
 _LEDGER_KEY = "ledger"
 _LEDGER_MAX = 1024  # retained ledger entries; older batches are protected by LWW idempotence anyway
@@ -186,6 +186,49 @@ def _business_fields(schema: T.StructType) -> list[T.StructField]:
 
 
 def merge_changes(
+    spark: SparkSession,
+    table: LakeTable,
+    changes: DataFrame,
+    *,
+    batch_key: str | None = None,
+    write_salt: int = 1,
+    quarantine: bool = True,
+    strategy: str = "cow",
+    max_ts=None,
+    conflict_retries: int = 0,
+) -> MergeResult:
+    """Apply one micro-batch of CDC events — see :func:`_merge_changes_once`
+    for the full semantics. ``conflict_retries`` adds optimistic-concurrency
+    retry: every commit validates ``expected_version`` against the snapshot
+    the merge was computed from, so a concurrent writer (another apply, a
+    compaction, a reconcile backfill) surfaces as :class:`CommitConflict`;
+    each retry RE-RUNS the whole merge against the refreshed snapshot —
+    never a blind rebase, because the ledger / ``max_commit_lsn`` /
+    ``delta_buckets`` props are read-modify-write and a stale rebase would
+    clobber the interleaved writer's bookkeeping. Safe to retry: the failed
+    attempt never entered the ledger, and read-time LWW makes a replayed
+    batch idempotent. (Data files staged by the failed attempt become
+    orphans; ``remove_orphan_files`` reclaims them.)"""
+    attempt = 0
+    while True:
+        try:
+            return _merge_changes_once(
+                spark,
+                table,
+                changes,
+                batch_key=batch_key,
+                write_salt=write_salt,
+                quarantine=quarantine,
+                strategy=strategy,
+                max_ts=max_ts,
+            )
+        except CommitConflict:
+            if attempt >= conflict_retries:
+                raise
+            attempt += 1
+
+
+def _merge_changes_once(
     spark: SparkSession,
     table: LakeTable,
     changes: DataFrame,
@@ -567,6 +610,29 @@ def _merge_mor(
 
 
 def compact(
+    spark: SparkSession,
+    table: LakeTable,
+    *,
+    write_salt: int = 1,
+    all_buckets: bool = False,
+    conflict_retries: int = 0,
+) -> int:
+    """Optimistic-concurrency wrapper around :func:`_compact_once`: a
+    background compactor racing the foreground apply loses the commit CAS
+    (its ``expected_version`` went stale) and simply re-reads and re-folds —
+    the apply never waits on compaction. Raises after ``conflict_retries``
+    losses so a hot table degrades loudly, not silently."""
+    attempt = 0
+    while True:
+        try:
+            return _compact_once(spark, table, write_salt=write_salt, all_buckets=all_buckets)
+        except CommitConflict:
+            if attempt >= conflict_retries:
+                raise
+            attempt += 1
+
+
+def _compact_once(
     spark: SparkSession,
     table: LakeTable,
     *,

@@ -97,6 +97,28 @@ def _atomic_write(path: str, content: str) -> None:
     os.replace(tmp, path)  # atomic on POSIX
 
 
+def _exclusive_write(path: str, content: str) -> None:
+    """Write ``content`` to ``path`` iff ``path`` does not exist, atomically.
+
+    The durable temp file is *hard-linked* into place: ``os.link`` fails
+    with EEXIST when the destination exists, so exactly one concurrent
+    writer can claim a given path — unlike an exists-check followed by
+    ``os.replace``, which lets the race loser silently overwrite the
+    winner. Because the link happens only after fsync, any snapshot file
+    another writer observes at this path is complete."""
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(content)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise CommitConflict(f"snapshot {os.path.basename(path)} already exists (concurrent writer?)")
+    finally:
+        os.unlink(tmp)
+
+
 class LakeTable:
     """Handle to a snapshot-versioned bucketed table."""
 
@@ -154,11 +176,31 @@ class LakeTable:
             return Snapshot.from_json(f.read())
 
     def _write_snapshot(self, snap: Snapshot) -> None:
+        """Publish ``snap``: claim the version file exclusively, then roll
+        ``_CURRENT`` forward. Claiming via hard-link (``_exclusive_write``)
+        makes the version number a true compare-and-swap token between
+        concurrent writers — the same role Iceberg's catalog CAS plays;
+        a file-based stand-in is the honest equivalent in this sandbox.
+
+        Self-healing publish: if the claim fails but ``_CURRENT`` still
+        points *before* the already-claimed version, the claimant crashed
+        (or is mid-publish) between its claim and its ``_CURRENT`` update.
+        The claimed file is complete by construction (linked post-fsync),
+        so finishing its publish here is correct and un-wedges the table;
+        we then raise ``CommitConflict`` so our caller recomputes against
+        the now-visible state."""
         snap_path = os.path.join(self.path, "snapshots", f"v{snap.version:012d}.json")
-        if os.path.exists(snap_path):
-            raise CommitConflict(f"snapshot v{snap.version} already exists (concurrent writer?)")
-        _atomic_write(snap_path, snap.to_json())
-        _atomic_write(os.path.join(self.path, "_CURRENT"), str(snap.version))
+        cur_path = os.path.join(self.path, "_CURRENT")
+        try:
+            _exclusive_write(snap_path, snap.to_json())
+        except CommitConflict:
+            if os.path.exists(cur_path):
+                with open(cur_path) as f:
+                    cur_v = int(f.read().strip())
+                if cur_v < snap.version:
+                    _atomic_write(cur_path, str(snap.version))
+            raise
+        _atomic_write(cur_path, str(snap.version))
 
     # -- read ------------------------------------------------------------
 

@@ -63,6 +63,7 @@ def apply_stream(
     strategy: str = "cow",
     compact_every: int = 0,
     history_path: str | None = None,
+    conflict_retries: int = 3,
 ):
     """Run the CDC apply as a streaming query. Returns
     ``(query, StreamMetrics)`` — metrics are populated only after the
@@ -75,7 +76,12 @@ def apply_stream(
     Type-2 version history. Each sink keeps its own ledger under the
     same ``pipeline_id:batchId`` key: a crash between the two commits
     replays the batch and each sink independently skips or applies —
-    the pair converges without cross-sink coordination."""
+    the pair converges without cross-sink coordination.
+
+    ``conflict_retries``: optimistic-concurrency budget passed through to
+    :func:`merge_changes` / :func:`compact` — a concurrent writer on the
+    same table (scheduled compactor, reconcile backfill, second pipeline)
+    costs a re-run of the losing micro-batch, never a crashed query."""
     table = LakeTable.load(table_path)
     scd2 = None
     if history_path is not None:
@@ -106,6 +112,7 @@ def apply_stream(
             batch_key=f"{pipeline_id}:{batch_id}",
             write_salt=write_salt,
             strategy=strategy,
+            conflict_retries=conflict_retries,
         )
         metrics.batches += 1
         if res.skipped:
@@ -122,7 +129,7 @@ def apply_stream(
                 spark, batch_df, batch_key=f"{pipeline_id}:{batch_id}", write_salt=write_salt
             )
         if compact_every and not res.skipped and metrics.batches % compact_every == 0:
-            compact(spark, table, write_salt=write_salt)
+            compact(spark, table, write_salt=write_salt, conflict_retries=conflict_retries)
         rec = {"pipeline_id": pipeline_id, "batch_id": batch_id, **asdict(res)}
         with open(os.path.join(metrics_path, f"{pipeline_id}_batch_{batch_id:09d}.json"), "w") as f:
             json.dump(rec, f)

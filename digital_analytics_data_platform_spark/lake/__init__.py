@@ -26,6 +26,7 @@ from .merge import (
     expire_tombstones,
     reconcile_backfill,
     replace_full,
+    rescale_buckets,
     MergeResult,
 )
 from .quarantine import (
@@ -43,6 +44,7 @@ __all__ = [
     "expire_tombstones",
     "reconcile_backfill",
     "replace_full",
+    "rescale_buckets",
     "MergeResult",
     "QuarantineReplayResult",
     "list_quarantine_files",

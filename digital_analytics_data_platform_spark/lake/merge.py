@@ -673,6 +673,65 @@ def _compact_once(
     return sum(f["rows"] for f in new_files)
 
 
+def rescale_buckets(
+    spark: SparkSession,
+    table: LakeTable,
+    new_n_buckets: int,
+    *,
+    write_salt: int = 1,
+    conflict_retries: int = 0,
+) -> int:
+    """Change the table's key-hash bucket count — the partition-spec
+    evolution a 10^10-event table eventually needs (a 64-bucket table at
+    that scale is ~150 GB/bucket; growing the spec restores pruning
+    granularity and write parallelism). Realized as ONE atomic
+    full-rewrite commit: every row is re-bucketed under the new spec, MOR
+    deltas fold down in passing, tombstones are retained (they still
+    guard late resurrection), and the ledger carries over so replayed
+    batches keep skipping. Old snapshots keep their own ``n_buckets`` —
+    time travel reads each version under the spec it was written with.
+
+    O(table) by design — this is a scheduled maintenance operation, not a
+    per-batch one; the commit CAS (``expected_version``) makes it safe to
+    run while the apply loop is live, and ``conflict_retries`` re-runs the
+    rewrite if the apply wins a race. Returns rows rewritten."""
+    if new_n_buckets < 1:
+        raise ValueError(f"new_n_buckets must be >= 1, got {new_n_buckets}")
+    attempt = 0
+    while True:
+        snap = table.snapshot()
+        if snap.n_buckets == new_n_buckets:
+            return 0
+        df = table.read(spark, include_deleted=True, collapse=True)
+        df = df.withColumn(
+            "_bucket",
+            F.pmod(F.xxhash64(F.col(snap.key_cols[0])), F.lit(new_n_buckets)).cast("int"),
+        )
+        _, new_files = table.write_data_files(df, write_salt=write_salt, n_buckets=new_n_buckets)
+        rows = sum(f["rows"] for f in new_files)
+        try:
+            table.commit(
+                new_files=new_files,
+                replaced_buckets=range(snap.n_buckets),
+                expected_version=snap.version,
+                n_buckets=new_n_buckets,
+                props_update={"delta_buckets": {}},
+                lineage=[
+                    {
+                        "mode": "rescale",
+                        "from_buckets": snap.n_buckets,
+                        "to_buckets": new_n_buckets,
+                        "rows": rows,
+                    }
+                ],
+            )
+            return rows
+        except CommitConflict:
+            if attempt >= conflict_retries:
+                raise
+            attempt += 1
+
+
 def replace_full(
     spark: SparkSession,
     table: LakeTable,

@@ -284,6 +284,7 @@ class LakeTable:
         bucket_col: str = "_bucket",
         write_salt: int = 1,
         extra_stats: dict[str, F.Column] | None = None,
+        n_buckets: int | None = None,
     ) -> tuple[str, list[dict[str, Any]]]:
         """Write ``df`` (which carries ``bucket_col``) as immutable data
         files grouped by bucket under a fresh commit directory. Returns
@@ -305,7 +306,7 @@ class LakeTable:
         # heuristic — without it AQE coalesces the bucket repartition to
         # ~data/64MB tasks, capping write parallelism far below the
         # core count at small batches (measured: flat 4→16-core scaling)
-        n_parts = snap.n_buckets * max(write_salt, 1)
+        n_parts = (n_buckets or snap.n_buckets) * max(write_salt, 1)
         if write_salt > 1:
             salted = df.repartition(
                 n_parts, F.col(bucket_col), F.pmod(F.xxhash64(F.col(snap.key_cols[-1])), F.lit(write_salt))
@@ -401,15 +402,22 @@ class LakeTable:
         schema: T.StructType | None = None,
         props_update: dict[str, Any] | None = None,
         lineage: list[dict[str, Any]] | None = None,
+        n_buckets: int | None = None,
     ) -> Snapshot:
         """Publish a new snapshot: carry over files outside
         ``replaced_buckets``, add ``new_files``, optionally evolve the
-        schema and update properties. Atomic via manifest rename."""
+        schema and update properties. Atomic via manifest rename.
+        ``n_buckets`` changes the table's bucket count (partition-spec
+        evolution) — only valid on a full-rewrite commit where
+        ``replaced_buckets`` covers every carried file, since old files'
+        bucket ids are meaningless under the new spec."""
         cur = self.snapshot()
         if expected_version is not None and cur.version != expected_version:
             raise CommitConflict(f"expected v{expected_version}, table at v{cur.version}")
         replaced = set(replaced_buckets)
         carried = [f for f in cur.files if f["bucket"] not in replaced]
+        if n_buckets is not None and n_buckets != cur.n_buckets and carried:
+            raise ValueError("n_buckets change requires a full rewrite (files carried across specs)")
         props = dict(cur.props)
         props.update(props_update or {})
         snap = Snapshot(
@@ -418,7 +426,7 @@ class LakeTable:
             schema_json=(schema or cur.schema()).json(),
             key_cols=cur.key_cols,
             order_cols=cur.order_cols,
-            n_buckets=cur.n_buckets,
+            n_buckets=n_buckets or cur.n_buckets,
             files=carried + new_files,
             props=props,
             lineage=lineage or [],
@@ -486,6 +494,52 @@ class LakeTable:
             *[c for c in changed.columns if c != DELETED_COL],
             F.when(F.col(DELETED_COL), F.lit("delete")).otherwise(F.lit("upsert")).alias("_change_type"),
         )
+
+    # -- observability ---------------------------------------------------
+
+    def lineage_df(self, spark: SparkSession, *, since_version: int = 0) -> DataFrame:
+        """The per-partition lineage ledger as a queryable DataFrame: one
+        row per (snapshot version, bucket) a commit touched, with the
+        merge counters the commit recorded (keys / inserts / updates /
+        deletes / batch_key / mode). This is the audit surface the north
+        rule's "per-partition lineage tables" names — e.g.
+        ``GROUP BY bucket`` exposes hot-key skew across the whole replay,
+        ``GROUP BY batch_key`` reconciles applied counts against the
+        source feed.
+
+        Driver-side manifest parse (snapshots are O(files) JSON, bounded
+        by ``expire_snapshots``), distributed from then on."""
+        rows = []
+        for v in self.list_snapshots():
+            if v < since_version:
+                continue
+            snap = self.snapshot(v)
+            for ent in snap.lineage:
+                rows.append(
+                    {
+                        "version": v,
+                        "bucket": int(ent.get("bucket", -1)),
+                        "keys": int(ent.get("keys", 0)),
+                        "inserts": int(ent.get("inserts", 0)),
+                        "updates": int(ent.get("updates", 0)),
+                        "deletes": int(ent.get("deletes", 0)),
+                        "batch_key": ent.get("batch_key"),
+                        "mode": ent.get("mode", "cow"),
+                    }
+                )
+        schema = T.StructType(
+            [
+                T.StructField("version", T.IntegerType(), False),
+                T.StructField("bucket", T.IntegerType(), False),
+                T.StructField("keys", T.LongType(), False),
+                T.StructField("inserts", T.LongType(), False),
+                T.StructField("updates", T.LongType(), False),
+                T.StructField("deletes", T.LongType(), False),
+                T.StructField("batch_key", T.StringType(), True),
+                T.StructField("mode", T.StringType(), True),
+            ]
+        )
+        return spark.createDataFrame(rows, schema)
 
     # -- maintenance -----------------------------------------------------
 

@@ -9,6 +9,6 @@ backfill/replay (the chunked-backfill-loop analog,
 """
 
 from .source import cdc_file_stream, cdc_schema, write_log_segments
-from .runner import apply_stream, StreamMetrics
+from .runner import apply_stream, metrics_df, StreamMetrics
 
-__all__ = ["cdc_file_stream", "cdc_schema", "write_log_segments", "apply_stream", "StreamMetrics"]
+__all__ = ["cdc_file_stream", "cdc_schema", "write_log_segments", "apply_stream", "metrics_df", "StreamMetrics"]

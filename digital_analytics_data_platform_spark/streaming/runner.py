@@ -157,3 +157,42 @@ def read_batch_metrics(table_path: str, pipeline_id: str = "bronze") -> list[dic
             with open(os.path.join(metrics_path, fn)) as f:
                 out.append(json.load(f))
     return out
+
+
+def metrics_df(spark: SparkSession, table_path: str, pipeline_id: str | None = "bronze") -> DataFrame:
+    """The per-batch metrics sink as a queryable DataFrame (the "metrics
+    tables" half of the north rule's lineage/metrics contract; the
+    per-partition half is :meth:`LakeTable.lineage_df`). One row per
+    applied micro-batch: batch id, event/insert/update/delete/quarantine
+    counts, commit version, wall seconds, strategy. ``pipeline_id=None``
+    reads every pipeline writing to this table's metrics dir.
+
+    A *distributed* ``spark.read.json`` over the metrics directory with
+    an explicit schema — at a 10^10-event replay the metrics sink is
+    millions of small records, a driver-side listdir loop would not
+    hold (that loop, :func:`read_batch_metrics`, stays for tests and
+    tiny tables)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("pipeline_id", T.StringType()),
+            T.StructField("batch_id", T.LongType()),
+            T.StructField("version", T.LongType()),
+            T.StructField("events_in", T.LongType()),
+            T.StructField("quarantined", T.LongType()),
+            T.StructField("inserts", T.LongType()),
+            T.StructField("updates", T.LongType()),
+            T.StructField("deletes", T.LongType()),
+            T.StructField("upserts", T.LongType()),
+            T.StructField("keys_written", T.LongType()),
+            T.StructField("skipped", T.BooleanType()),
+            T.StructField("strategy", T.StringType()),
+            T.StructField("wall_s", T.DoubleType()),
+        ]
+    )
+    df = spark.read.schema(schema).json(os.path.join(table_path, "metrics"))
+    if pipeline_id is not None:
+        df = df.filter(F.col("pipeline_id") == pipeline_id)
+    return df

@@ -245,3 +245,43 @@ def test_json_wire_stream_applies_identically(spark, tmp_path):
     b = sorted(tuple(r) for r in t_pq.read(spark).select(*cols).collect())
     assert a == b and len(a) > 0
     assert m1.events > 0
+
+
+def test_lineage_and_metrics_dataframes(spark, make_table, tmp_path):
+    """The north rule's per-partition lineage + metrics TABLES: both
+    observability surfaces are queryable DataFrames whose aggregates
+    reconcile exactly against the feed and against each other."""
+    from digital_analytics_data_platform_spark.streaming.runner import metrics_df
+
+    n = 4_000
+    log = datagen.change_log(spark, n, n_convs=60, turns_per_conv=8)
+    log_dir = str(tmp_path / "cdclog")
+    write_log_segments(log, log_dir, n_segments=4)
+    tbl = make_table()
+    src = cdc_file_stream(spark, log_dir, max_files_per_trigger=1)
+    _, m = apply_stream(spark, src, tbl.path, str(tmp_path / "ckpt"), pipeline_id="bronze")
+
+    mdf = metrics_df(spark, tbl.path, "bronze")
+    agg = mdf.agg(
+        F.sum("events_in").alias("ev"),
+        F.count("*").alias("batches"),
+        F.sum("inserts").alias("ins"),
+        F.sum("deletes").alias("dels"),
+    ).collect()[0]
+    assert agg["ev"] == n and agg["batches"] == m.batches
+    assert agg["ins"] == m.inserts and agg["dels"] == m.deletes
+
+    ldf = tbl.lineage_df(spark)
+    # lineage and metrics tell the same story, partition-resolved
+    lagg = ldf.agg(
+        F.sum("inserts").alias("ins"),
+        F.sum("deletes").alias("dels"),
+        F.countDistinct("bucket").alias("buckets"),
+        F.countDistinct("batch_key").alias("batch_keys"),
+    ).collect()[0]
+    assert lagg["ins"] == m.inserts and lagg["dels"] == m.deletes
+    assert 1 <= lagg["buckets"] <= tbl.snapshot().n_buckets
+    assert lagg["batch_keys"] == m.batches
+    # per-partition resolution: every lineage row names a real commit
+    versions = {r["version"] for r in ldf.select("version").distinct().collect()}
+    assert versions <= set(tbl.list_snapshots())

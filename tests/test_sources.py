@@ -247,3 +247,78 @@ def test_maxwell_and_canal_roundtrip_apply_identically(spark, tmp_path):
         merge_changes(spark, t, decoded, batch_key="b0")
         got = sorted(tuple(r) for r in t.read(spark).select(*cols).collect())
         assert got == expect, name
+
+
+def test_wal2json_decode_actions_and_lsn_fold(spark):
+    """I/U/D actions pass through; DELETE decodes from `identity`
+    (REPLICA IDENTITY FULL); the hex LSN pair folds to one ordered
+    long; B/C/M/T markers and garbage are null-op quarantine rows."""
+    from pyspark.sql import types as T
+
+    from digital_analytics_data_platform_spark.sources.wal2json import decode_envelopes
+
+    row_schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.IntegerType())]
+    )
+    raw = spark.createDataFrame(
+        [
+            ('{"action":"B","xid":7,"lsn":"0/10"}',),
+            (
+                '{"action":"I","xid":7,"lsn":"0/16B2C50","columns":'
+                '[{"name":"k","type":"text","value":"a"},{"name":"v","type":"integer","value":"1"}]}',
+            ),
+            (
+                '{"action":"U","xid":7,"lsn":"0/16B2C58","columns":'
+                '[{"name":"k","type":"text","value":"a"},{"name":"v","type":"integer","value":"9"}],'
+                '"identity":[{"name":"k","type":"text","value":"a"},{"name":"v","type":"integer","value":"1"}]}',
+            ),
+            (
+                '{"action":"D","xid":8,"lsn":"1/00000010","identity":'
+                '[{"name":"k","type":"text","value":"a"},{"name":"v","type":"integer","value":"9"}]}',
+            ),
+            ('{"action":"C","xid":7,"lsn":"0/16B2C60"}',),
+            ('{"action":"T","xid":9,"lsn":"0/17000000","schema":"public","table":"t"}',),
+            ("not json",),
+        ],
+        T.StructType([T.StructField("value", T.StringType())]),
+    )
+    got = {
+        (r["k"], r["v"], r["op"], r["lsn"], r["commit_lsn"])
+        for r in decode_envelopes(raw, row_schema).collect()
+    }
+    assert ("a", 1, "I", 0x16B2C50, 7) in got
+    assert ("a", 9, "U", 0x16B2C58, 7) in got  # columns wins over identity
+    assert ("a", 9, "D", (1 << 32) + 0x10, 8) in got  # hi/lo fold keeps order
+    assert (None, None, None, 0x10, 7) in got  # begin marker → quarantine
+    assert (None, None, None, None, None) in got  # garbage
+    ops = [r[2] for r in got]
+    assert ops.count(None) == 4  # B, C, T, garbage
+
+
+def test_wal2json_roundtrip_applies_identically(spark, tmp_path):
+    """decode(encode(log)) applied through MERGE equals applying the
+    original log directly — same contract as the Maxwell/Canal/Debezium
+    identity oracles, including deletes riding in `identity`."""
+    from digital_analytics_data_platform_spark import datagen
+    from digital_analytics_data_platform_spark.lake import LakeTable, merge_changes
+    from digital_analytics_data_platform_spark.sources import wal2json
+    from tests.conftest import TRANSCRIPT_SCHEMA
+
+    log = datagen.change_log(spark, 3000, n_convs=30, turns_per_conv=10)
+    row_cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn"]
+
+    t_direct = LakeTable.create(
+        str(tmp_path / "direct"), TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], ["ts", "lsn"]
+    )
+    merge_changes(spark, t_direct, log, batch_key="b0")
+    expect = sorted(tuple(r) for r in t_direct.read(spark).select(*row_cols).collect())
+    assert expect
+
+    wire = wal2json.encode_envelopes(log, row_cols)
+    decoded = wal2json.decode_envelopes(wire, log.select(*row_cols).schema)
+    t = LakeTable.create(
+        str(tmp_path / "w2j"), TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], ["ts", "lsn"]
+    )
+    merge_changes(spark, t, decoded, batch_key="b0")
+    got = sorted(tuple(r) for r in t.read(spark).select(*row_cols).collect())
+    assert got == expect

@@ -152,6 +152,40 @@ class Scd2Table:
         write_salt: int = 1,
         quarantine: bool = True,
         max_ts=None,
+        conflict_retries: int = 0,
+    ) -> int:
+        """See :meth:`_apply_batch_once`. ``conflict_retries`` adds the
+        same optimistic-concurrency retry as ``merge_changes``: a lost
+        commit CAS (concurrent writer on this table) re-runs the whole
+        batch against the refreshed snapshot — safe because the failed
+        attempt never entered the ledger."""
+        from ..lake.table import CommitConflict
+
+        attempt = 0
+        while True:
+            try:
+                return self._apply_batch_once(
+                    spark,
+                    changes,
+                    batch_key=batch_key,
+                    write_salt=write_salt,
+                    quarantine=quarantine,
+                    max_ts=max_ts,
+                )
+            except CommitConflict:
+                if attempt >= conflict_retries:
+                    raise
+                attempt += 1
+
+    def _apply_batch_once(
+        self,
+        spark: SparkSession,
+        changes: DataFrame,
+        *,
+        batch_key: str | None = None,
+        write_salt: int = 1,
+        quarantine: bool = True,
+        max_ts=None,
     ) -> int:
         """Append one micro-batch of raw change events. O(batch): no
         existing file is read or rewritten. Returns the new snapshot

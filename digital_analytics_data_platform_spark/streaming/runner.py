@@ -126,7 +126,11 @@ def apply_stream(
             metrics.deletes += res.deletes
         if scd2 is not None:
             scd2.apply_batch(
-                spark, batch_df, batch_key=f"{pipeline_id}:{batch_id}", write_salt=write_salt
+                spark,
+                batch_df,
+                batch_key=f"{pipeline_id}:{batch_id}",
+                write_salt=write_salt,
+                conflict_retries=conflict_retries,
             )
         if compact_every and not res.skipped and metrics.batches % compact_every == 0:
             compact(spark, table, write_salt=write_salt, conflict_retries=conflict_retries)

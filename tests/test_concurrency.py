@@ -287,3 +287,57 @@ def test_two_live_pipelines_one_table(spark, make_table, tmp_path):
     ev = sum(m["events_in"] for m in read_batch_metrics(tbl.path, "left"))
     ev += sum(m["events_in"] for m in read_batch_metrics(tbl.path, "right"))
     assert ev == n
+
+
+def test_scd2_and_patch_apply_retry_through_conflict(spark, tmp_path, monkeypatch):
+    """The Type-2 history sink and the partial-update sink share the
+    merge path's optimistic-concurrency contract: a lost commit CAS with
+    conflict_retries re-runs the batch and applies cleanly."""
+    from pyspark.sql import types as T
+
+    from digital_analytics_data_platform_spark.operators.patch import PatchTable
+    from digital_analytics_data_platform_spark.operators.scd2 import Scd2Table
+    from tests.conftest import TRANSCRIPT_SCHEMA
+
+    real_commit = LakeTable.commit
+
+    def flaky_commit_once(counter):
+        def _commit(self, **kw):
+            if counter["n"] == 0:
+                counter["n"] = 1
+                raise CommitConflict("simulated race")
+            return real_commit(self, **kw)
+
+        return _commit
+
+    st = Scd2Table.create(
+        str(tmp_path / "hist"), TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], ["ts", "lsn"], n_buckets=4
+    )
+    c1 = {"n": 0}
+    monkeypatch.setattr(LakeTable, "commit", flaky_commit_once(c1))
+    st.apply_batch(
+        spark, cdc_rows(spark, [("I", "c1", 0, "user", "a", None, 10, 1)]), batch_key="b1", conflict_retries=1
+    )
+    monkeypatch.undo()
+    assert c1["n"] == 1
+    assert st.current(spark).count() == 1
+
+    log_schema = T.StructType(
+        [
+            T.StructField("uid", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("a", T.StringType()),
+        ]
+    )
+    pt = PatchTable.create(str(tmp_path / "pt"), log_schema, ["uid"], "lsn", n_buckets=4)
+    c2 = {"n": 0}
+    monkeypatch.setattr(LakeTable, "commit", flaky_commit_once(c2))
+    pt.apply_batch(
+        spark,
+        spark.createDataFrame([("u1", 1, "x")], log_schema),
+        batch_key="b1",
+        conflict_retries=1,
+    )
+    monkeypatch.undo()
+    assert c2["n"] == 1
+    assert {r["uid"] for r in pt.read(spark).collect()} == {"u1"}

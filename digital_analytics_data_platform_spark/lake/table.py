@@ -216,6 +216,7 @@ class LakeTable:
         buckets: Iterable[int] | None = None,
         include_deleted: bool = False,
         snapshot_version: int | None = None,
+        tag: str | None = None,
         min_order: tuple | None = None,
         stats_range: dict[str, tuple] | None = None,
         collapse: bool | None = None,
@@ -243,7 +244,17 @@ class LakeTable:
         ``merge_changes(strategy="mor")``), a key may appear in several
         files; the read collapses to the latest version per key with the
         same last-writer-wins hash agg the MERGE uses. ``collapse``
-        forces/suppresses this (default: auto from the manifest)."""
+        forces/suppresses this (default: auto from the manifest).
+
+        ``tag`` resolves a named pin from :meth:`set_tag` (mutually
+        exclusive with ``snapshot_version``)."""
+        if tag is not None:
+            if snapshot_version is not None:
+                raise ValueError("pass either snapshot_version or tag, not both")
+            tags = self.tags()
+            if tag not in tags:
+                raise KeyError(f"no tag {tag!r} on table {self.path}")
+            snapshot_version = tags[tag]
         snap = self.snapshot(snapshot_version)
         files = snap.files
         if buckets is not None:
@@ -558,6 +569,40 @@ class LakeTable:
             if n.startswith("v") and n.endswith(".json")
         )
 
+    # -- tags --------------------------------------------------------------
+
+    def set_tag(self, name: str, version: int | None = None) -> int:
+        """Pin a snapshot under a human name (Iceberg tag analog — the
+        operational handle for audit/rollback points: ``pre-backfill``,
+        ``eod-2026-08-19``). Tagged versions survive
+        :meth:`expire_snapshots` regardless of ``keep_last``; reads
+        resolve via ``read(spark, tag=...)``. Re-tagging the same name
+        moves it (atomic replace). Returns the pinned version."""
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"invalid tag name: {name!r}")
+        v = self.snapshot().version if version is None else version
+        if v not in self.list_snapshots():
+            raise ValueError(f"cannot tag v{v}: no such snapshot on disk")
+        tag_dir = os.path.join(self.path, "tags")
+        os.makedirs(tag_dir, exist_ok=True)
+        _atomic_write(os.path.join(tag_dir, name), str(v))
+        return v
+
+    def delete_tag(self, name: str) -> None:
+        p = os.path.join(self.path, "tags", name)
+        if os.path.exists(p):
+            os.remove(p)
+
+    def tags(self) -> dict[str, int]:
+        tag_dir = os.path.join(self.path, "tags")
+        if not os.path.isdir(tag_dir):
+            return {}
+        out = {}
+        for n in sorted(os.listdir(tag_dir)):
+            with open(os.path.join(tag_dir, n)) as f:
+                out[n] = int(f.read().strip())
+        return out
+
     def expire_snapshots(self, *, keep_last: int = 10) -> dict[str, int]:
         """Iceberg ``expire_snapshots`` analog: drop manifests older than
         the newest ``keep_last`` versions and physically delete data
@@ -575,6 +620,7 @@ class LakeTable:
         versions = self.list_snapshots()
         cur = self.snapshot().version
         keep = {v for v in versions if v > cur - keep_last} | {cur}
+        keep |= {v for v in self.tags().values() if v in set(versions)}
         expired = [v for v in versions if v not in keep]
         live: set[str] = set()
         for v in keep:

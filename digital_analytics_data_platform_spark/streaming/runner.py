@@ -196,7 +196,10 @@ def metrics_df(spark: SparkSession, table_path: str, pipeline_id: str | None = "
             T.StructField("wall_s", T.DoubleType()),
         ]
     )
-    df = spark.read.schema(schema).json(os.path.join(table_path, "metrics"))
+    mdir = os.path.join(table_path, "metrics")
+    if not os.path.isdir(mdir) or not os.listdir(mdir):
+        return spark.createDataFrame([], schema)
+    df = spark.read.schema(schema).json(mdir)
     if pipeline_id is not None:
         df = df.filter(F.col("pipeline_id") == pipeline_id)
     return df

@@ -331,3 +331,47 @@ def test_rescale_retries_when_apply_wins_the_race(spark, make_table, monkeypatch
     assert tbl.snapshot().n_buckets == 32
     # the racing batch's row survived the retried rewrite
     assert _state(spark, tbl) == {("c1", 0): "a", ("c2", 0): "b"}
+
+
+# ---- snapshot tags --------------------------------------------------------
+
+
+def test_tags_pin_versions_through_expiry(spark, make_table):
+    """A tagged snapshot (audit/rollback pin) survives expire_snapshots
+    beyond keep_last, stays readable via read(tag=...), and is vacuumed
+    normally once the tag is dropped."""
+    import pytest
+
+    tbl = make_table()
+    _apply(spark, tbl, [("I", "c1", 0, "user", "v1", None, 10, 1)], "b1")
+    assert tbl.set_tag("audit") == 1
+    for i in range(2, 8):
+        _apply(spark, tbl, [("U", "c1", 0, "user", f"v{i}", None, 10 * i, i)], f"b{i}")
+
+    out = tbl.expire_snapshots(keep_last=2)
+    assert out["expired_snapshots"] > 0
+    assert 1 in tbl.list_snapshots()  # pinned
+    assert tbl.read(spark, tag="audit").collect()[0]["text"] == "v1"
+    assert tbl.tags() == {"audit": 1}
+
+    # re-tag moves the pin; delete + expire vacuums the old version
+    tbl.set_tag("audit", tbl.snapshot().version)
+    tbl.expire_snapshots(keep_last=2)
+    assert 1 not in tbl.list_snapshots()
+    with pytest.raises(KeyError):
+        tbl.read(spark, tag="nope")
+    with pytest.raises(ValueError):
+        tbl.set_tag("bad", 999)
+    with pytest.raises(ValueError):
+        tbl.set_tag("../escape")
+    with pytest.raises(ValueError):
+        tbl.read(spark, tag="audit", snapshot_version=1)
+    tbl.delete_tag("audit")
+    assert tbl.tags() == {}
+
+
+def test_metrics_df_empty_dir_is_empty_frame(spark, make_table):
+    from digital_analytics_data_platform_spark.streaming import metrics_df
+
+    tbl = make_table()
+    assert metrics_df(spark, tbl.path).count() == 0

@@ -98,15 +98,30 @@ def cdc_json_stream(
     *,
     row_schema: "T.StructType | None" = None,
     max_files_per_trigger: int | None = None,
+    codec: str = "debezium",
 ) -> DataFrame:
-    """Tail a directory of Debezium JSON envelope files (newline-
+    """Tail a directory of JSON change-envelope files (newline-
     delimited — the raw binlog/WAL wire format) as a change-event
     stream. ``text`` source + ``from_json`` decode: same checkpointed
     exactly-once file tracking as :func:`cdc_file_stream`, with the
     envelope decode fused into the first map stage (codegen'd Jackson —
-    no per-row Python)."""
-    from ..sources.debezium import decode_envelopes
+    no per-row Python).
 
+    ``codec`` selects the wire format: ``debezium`` (default),
+    ``maxwell``, ``canal``, or ``wal2json`` — the four formats a
+    WAL/binlog tail commonly lands in; all four decode to the identical
+    engine change-event shape, so the downstream apply is
+    format-agnostic."""
+    from ..sources import canal, debezium, maxwell, wal2json
+
+    codecs = {
+        "debezium": debezium,
+        "maxwell": maxwell,
+        "canal": canal,
+        "wal2json": wal2json,
+    }
+    if codec not in codecs:
+        raise ValueError(f"unknown wire codec {codec!r}; choose from {sorted(codecs)}")
     if row_schema is None:
         row_schema = T.StructType(
             [f for f in cdc_schema().fields if f.name not in ("op", "lsn", "commit_lsn")]
@@ -115,4 +130,4 @@ def cdc_json_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.text(wire_dir)
-    return decode_envelopes(raw, row_schema)
+    return codecs[codec].decode_envelopes(raw, row_schema)

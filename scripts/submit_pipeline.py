@@ -40,8 +40,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "not recurse; a parent dir of segment subdirs matches 0 files)")
     ap.add_argument("--lake-dir", required=True, help="medallion table root")
     ap.add_argument("--checkpoint-dir", required=True)
-    ap.add_argument("--wire-format", choices=["parquet", "json"], default="parquet",
-                    help="parquet log segments or Debezium JSON envelopes")
+    ap.add_argument("--wire-format",
+                    choices=["parquet", "json", "debezium", "maxwell", "canal", "wal2json"],
+                    default="parquet",
+                    help="parquet log segments, or newline-delimited JSON change "
+                         "envelopes in one of the four wire formats "
+                         "('json' is an alias for 'debezium')")
     ap.add_argument("--mode", choices=["medallion", "bronze-only"], default="medallion",
                     help="full Bronze→Silver→Gold rebuild per batch, or bronze apply only")
     ap.add_argument("--strategy", choices=["cow", "mor"], default="mor")
@@ -86,9 +90,10 @@ def main(argv: list[str] | None = None) -> dict:
         # under spark-submit the session/master is the cluster's
         spark = SparkSession.builder.appName("dadp-pipeline").getOrCreate()
 
-    if args.wire_format == "json":
+    if args.wire_format != "parquet":
+        codec = "debezium" if args.wire_format == "json" else args.wire_format
         source = cdc_json_stream(
-            spark, args.feed_dir, max_files_per_trigger=args.max_files_per_trigger
+            spark, args.feed_dir, max_files_per_trigger=args.max_files_per_trigger, codec=codec
         )
     else:
         source = cdc_file_stream(

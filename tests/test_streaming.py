@@ -285,3 +285,59 @@ def test_lineage_and_metrics_dataframes(spark, make_table, tmp_path):
     # per-partition resolution: every lineage row names a real commit
     versions = {r["version"] for r in ldf.select("version").distinct().collect()}
     assert versions <= set(tbl.list_snapshots())
+
+
+def test_wal2json_wire_stream_applies_identically(spark, tmp_path):
+    """The codec-selectable wire tail (`cdc_json_stream(codec=...)`):
+    the same log landed as wal2json v2 envelope files streams through
+    the foreachBatch apply to the identical state as the parquet path
+    (envelope-level hex LSN carrying the ordering)."""
+    import glob
+    import os
+    import shutil
+
+    from digital_analytics_data_platform_spark.lake import LakeTable
+    from digital_analytics_data_platform_spark.sources.wal2json import encode_envelopes
+    from digital_analytics_data_platform_spark.streaming.runner import apply_stream
+    from digital_analytics_data_platform_spark.streaming.source import cdc_json_stream
+    from tests.conftest import TRANSCRIPT_SCHEMA
+
+    log = datagen.change_log(spark, 3000, n_convs=30, turns_per_conv=10)
+    row_cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+    wire_dir = str(tmp_path / "wire")
+    os.makedirs(wire_dir)
+    encode_envelopes(log, row_cols).coalesce(2).write.mode("overwrite").text(
+        str(tmp_path / "wire_stage")
+    )
+    for i, p in enumerate(sorted(glob.glob(str(tmp_path / "wire_stage" / "part-*")))):
+        shutil.move(p, os.path.join(wire_dir, f"seg_{i:04d}.jsonl"))
+
+    pq_dir = str(tmp_path / "pq")
+    write_log_segments(log, pq_dir, n_segments=2)
+
+    t_wire = LakeTable.create(
+        str(tmp_path / "t_wire"), TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], ["ts", "lsn"]
+    )
+    t_pq = LakeTable.create(
+        str(tmp_path / "t_pq"), TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], ["ts", "lsn"]
+    )
+    _, m1 = apply_stream(
+        spark,
+        cdc_json_stream(spark, wire_dir, codec="wal2json"),
+        t_wire.path,
+        str(tmp_path / "ck_wire"),
+        pipeline_id="wire",
+    )
+    _, m2 = apply_stream(
+        spark, cdc_file_stream(spark, pq_dir), t_pq.path, str(tmp_path / "ck_pq"), pipeline_id="pq"
+    )
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn"]
+    a = sorted(tuple(r) for r in t_wire.read(spark).select(*cols).collect())
+    b = sorted(tuple(r) for r in t_pq.read(spark).select(*cols).collect())
+    assert a == b and len(a) > 0 and m1.events == m2.events
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        cdc_json_stream(spark, wire_dir, codec="nope")

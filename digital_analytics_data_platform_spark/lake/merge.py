@@ -739,6 +739,28 @@ def replace_full(
     *,
     batch_key: str | None = None,
     write_salt: int = 1,
+    conflict_retries: int = 0,
+) -> MergeResult:
+    """See :func:`_replace_full_once`; ``conflict_retries`` re-runs the
+    rebuild against the refreshed snapshot on a lost commit CAS (same
+    contract as :func:`merge_changes`)."""
+    attempt = 0
+    while True:
+        try:
+            return _replace_full_once(spark, table, df, batch_key=batch_key, write_salt=write_salt)
+        except CommitConflict:
+            if attempt >= conflict_retries:
+                raise
+            attempt += 1
+
+
+def _replace_full_once(
+    spark: SparkSession,
+    table: LakeTable,
+    df: DataFrame,
+    *,
+    batch_key: str | None = None,
+    write_salt: int = 1,
 ) -> MergeResult:
     """S5: CREATE-OR-REPLACE full rebuild — the source dataframe IS the
     new table state, swapped in atomically as one snapshot (the
@@ -825,6 +847,32 @@ def _ledger_only_commit(
 
 
 def reconcile_backfill(
+    spark: SparkSession,
+    table: LakeTable,
+    corrected: DataFrame,
+    start,
+    end,
+    *,
+    batch_key: str | None = None,
+    write_salt: int = 1,
+    conflict_retries: int = 0,
+) -> MergeResult:
+    """See :func:`_reconcile_backfill_once`; ``conflict_retries`` re-runs
+    the window replace against the refreshed snapshot on a lost commit
+    CAS (same contract as :func:`merge_changes`)."""
+    attempt = 0
+    while True:
+        try:
+            return _reconcile_backfill_once(
+                spark, table, corrected, start, end, batch_key=batch_key, write_salt=write_salt
+            )
+        except CommitConflict:
+            if attempt >= conflict_retries:
+                raise
+            attempt += 1
+
+
+def _reconcile_backfill_once(
     spark: SparkSession,
     table: LakeTable,
     corrected: DataFrame,
@@ -948,7 +996,23 @@ def window_file_buckets(snap, tcol: str, start, end) -> set:
     }
 
 
-def expire_tombstones(spark: SparkSession, table: LakeTable, *, older_than_lsn: int) -> int:
+def expire_tombstones(
+    spark: SparkSession, table: LakeTable, *, older_than_lsn: int, conflict_retries: int = 0
+) -> int:
+    """OCC wrapper around :func:`_expire_tombstones_once` (same retry
+    contract as :func:`compact` — a racing apply wins, the maintenance
+    op re-reads and re-runs)."""
+    attempt = 0
+    while True:
+        try:
+            return _expire_tombstones_once(spark, table, older_than_lsn=older_than_lsn)
+        except CommitConflict:
+            if attempt >= conflict_retries:
+                raise
+            attempt += 1
+
+
+def _expire_tombstones_once(spark: SparkSession, table: LakeTable, *, older_than_lsn: int) -> int:
     """Maintenance: rewrite buckets dropping tombstones whose order col
     is below the watermark (safe once no event older than the watermark
     can still arrive — the reference's lookback-window contract)."""

@@ -603,6 +603,67 @@ class LakeTable:
                 out[n] = int(f.read().strip())
         return out
 
+    def rollback(
+        self,
+        to_version: int | None = None,
+        *,
+        tag: str | None = None,
+        conflict_retries: int = 0,
+    ) -> Snapshot:
+        """Iceberg ``rollback_to_snapshot`` analog: publish a NEW snapshot
+        restoring the file list, schema, bucket spec, and properties of
+        ``to_version`` (or the version pinned by ``tag``). History is
+        preserved — the rolled-back commits stay readable for forensics
+        until :meth:`expire_snapshots` drops them, and the restored
+        version's data files are live-referenced again, so expiry and
+        orphan vacuum keep them.
+
+        Restoring ``props`` restores the exactly-once batch ledger to
+        the rollback point too: a batch applied after that point is no
+        longer ledgered, so replaying its feed re-applies cleanly — the
+        recovery path after rolling back a bad batch.
+
+        OCC-safe: the publish goes through the same version CAS as any
+        commit; a racing writer raises :class:`CommitConflict`, retried
+        ``conflict_retries`` times against the refreshed head. Rolling
+        back to the current version is a no-op (returns it unchanged).
+        """
+        if tag is not None:
+            if to_version is not None:
+                raise ValueError("pass either to_version or tag, not both")
+            tags = self.tags()
+            if tag not in tags:
+                raise KeyError(f"no tag {tag!r} on table {self.path}")
+            to_version = tags[tag]
+        if to_version is None:
+            raise ValueError("rollback requires to_version or tag")
+        if to_version not in self.list_snapshots():
+            raise ValueError(f"cannot rollback to v{to_version}: snapshot expired or never existed")
+        target = self.snapshot(to_version)
+        attempt = 0
+        while True:
+            cur = self.snapshot()
+            if cur.version == to_version:
+                return cur
+            snap = Snapshot(
+                version=cur.version + 1,
+                parent=cur.version,
+                schema_json=target.schema_json,
+                key_cols=target.key_cols,
+                order_cols=target.order_cols,
+                n_buckets=target.n_buckets,
+                files=list(target.files),
+                props=dict(target.props),
+                lineage=[{"batch_key": f"rollback:v{to_version}", "mode": "rollback"}],
+            )
+            try:
+                self._write_snapshot(snap)
+                return snap
+            except CommitConflict:
+                if attempt >= conflict_retries:
+                    raise
+                attempt += 1
+
     def expire_snapshots(self, *, keep_last: int = 10) -> dict[str, int]:
         """Iceberg ``expire_snapshots`` analog: drop manifests older than
         the newest ``keep_last`` versions and physically delete data

@@ -243,6 +243,70 @@ class MedallionPipeline:
             stats.append(s)
         return stats
 
+    def audit_and_publish(
+        self,
+        spark: SparkSession,
+        *,
+        tag: str = "published",
+        as_of=None,
+        max_ts=None,
+        max_delay_hours: float = 24.0,
+    ) -> dict:
+        """Write-audit-publish gate (the Iceberg WAP-branch pattern on
+        snapshot tags): the apply loop commits freely to each table's
+        head, consumers read via ``read(spark, layer, tag=tag)``, and
+        this gate moves the tag forward ONLY when the full audit finds
+        no critical failure. On failure the tags stay at the last
+        audited-good versions — consumers never see unaudited data —
+        and the failing rows come back for the operator, whose recovery
+        arm is :meth:`rollback_to_tag`.
+
+        Versions are captured BEFORE the audit and the tags pinned to
+        those captured versions, so a commit racing the audit can never
+        get published unaudited (it waits for the next gate run).
+        Single audit runner assumed (it runs in the apply loop's thread
+        between batches), matching the pipeline's one-publisher design.
+        """
+        versions = {}
+        for name in sorted(os.listdir(self.base_dir)):
+            path = self._path(name)
+            if LakeTable.exists(path):
+                versions[name] = LakeTable.load(path).snapshot().version
+        results = self.run_full_audit(
+            spark, as_of=as_of, max_ts=max_ts, max_delay_hours=max_delay_hours
+        )
+        critical = [r for r in results if r["is_critical_failure"]]
+        published = {}
+        if not critical:
+            for name, v in versions.items():
+                published[name] = LakeTable.load(self._path(name)).set_tag(tag, v)
+        return {
+            "published": not critical,
+            "tag": tag,
+            "versions": published,
+            "critical_failures": critical,
+        }
+
+    def rollback_to_tag(self, *, tag: str = "published", conflict_retries: int = 3) -> dict:
+        """Restore every pipeline table to its ``tag``-pinned version —
+        the last audited-good state — via :meth:`LakeTable.rollback`
+        (history-preserving; each table's batch ledger is restored with
+        its props, so re-feeding the rolled-back batches re-applies
+        cleanly). ``qa_results`` is deliberately left at head: the audit
+        rows that RECORDED the failure are observability evidence, not
+        state to be reverted. Returns {table: new head version}."""
+        out = {}
+        for name in sorted(os.listdir(self.base_dir)):
+            if name == "qa_results":
+                continue
+            path = self._path(name)
+            if not LakeTable.exists(path):
+                continue
+            tbl = LakeTable.load(path)
+            if tag in tbl.tags():
+                out[name] = tbl.rollback(tag=tag, conflict_retries=conflict_retries).version
+        return out
+
     def _downstream_applied(self, batch_id) -> bool:
         """True iff every downstream layer's exactly-once ledger already
         records this batch (driver-side JSON reads — no Spark jobs).

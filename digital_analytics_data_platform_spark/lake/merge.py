@@ -616,16 +616,24 @@ def compact(
     write_salt: int = 1,
     all_buckets: bool = False,
     conflict_retries: int = 0,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Optimistic-concurrency wrapper around :func:`_compact_once`: a
     background compactor racing the foreground apply loses the commit CAS
     (its ``expected_version`` went stale) and simply re-reads and re-folds —
     the apply never waits on compaction. Raises after ``conflict_retries``
-    losses so a hot table degrades loudly, not silently."""
+    losses so a hot table degrades loudly, not silently.
+
+    ``cluster_by`` range-clusters the rewritten files on those columns
+    (see :meth:`LakeTable.write_data_files`): compaction is exactly when
+    a 100 TB table buys back read locality, turning later ``stats_range``
+    dashboard reads into sliver scans instead of full-bucket scans."""
     attempt = 0
     while True:
         try:
-            return _compact_once(spark, table, write_salt=write_salt, all_buckets=all_buckets)
+            return _compact_once(
+                spark, table, write_salt=write_salt, all_buckets=all_buckets, cluster_by=cluster_by
+            )
         except CommitConflict:
             if attempt >= conflict_retries:
                 raise
@@ -638,6 +646,7 @@ def _compact_once(
     *,
     write_salt: int = 1,
     all_buckets: bool = False,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Fold merge-on-read delta files down: one LWW collapse per bucket,
     rewrite as canonical files (tombstones retained — they still guard
@@ -662,7 +671,7 @@ def _compact_once(
     df = df.withColumn(
         "_bucket", F.pmod(F.xxhash64(F.col(snap.key_cols[0])), F.lit(snap.n_buckets)).cast("int")
     )
-    _, new_files = table.write_data_files(df, write_salt=write_salt)
+    _, new_files = table.write_data_files(df, write_salt=write_salt, cluster_by=cluster_by)
     remaining = {} if all_buckets else {b: n for b, n in delta.items() if int(b) not in set(scope)}
     table.commit(
         new_files=new_files,

@@ -296,6 +296,7 @@ class LakeTable:
         write_salt: int = 1,
         extra_stats: dict[str, F.Column] | None = None,
         n_buckets: int | None = None,
+        cluster_by: list[str] | None = None,
     ) -> tuple[str, list[dict[str, Any]]]:
         """Write ``df`` (which carries ``bucket_col``) as immutable data
         files grouped by bucket under a fresh commit directory. Returns
@@ -306,7 +307,18 @@ class LakeTable:
         ``write_salt > 1`` spreads a hot bucket over several write tasks
         (skew mitigation for the write stage; the dedupe stage is
         already skew-safe via partial hash aggregation).
-        """
+
+        ``cluster_by`` range-clusters the layout on those columns
+        (Iceberg sort-order analog): partitions are RANGE-split on
+        (bucket, *cluster_by) — ``write_salt`` then acts as splits per
+        bucket — and rows are sorted within each file, so the per-file
+        min/max stats the manifest records become genuinely narrow on
+        the cluster columns. A ``stats_range`` consumption read (e.g. a
+        dashboard's ``day BETWEEN``) skips all but the overlapping
+        slivers instead of every file of every bucket. The
+        within-partition sort leads with ``bucket_col``, so the
+        partitionBy write's required ordering is already satisfied and
+        Spark adds no second sort."""
         import time
 
         commit_dir = f"data/{uuid.uuid4().hex}"
@@ -318,7 +330,11 @@ class LakeTable:
         # ~data/64MB tasks, capping write parallelism far below the
         # core count at small batches (measured: flat 4→16-core scaling)
         n_parts = (n_buckets or snap.n_buckets) * max(write_salt, 1)
-        if write_salt > 1:
+        if cluster_by:
+            salted = df.repartitionByRange(
+                n_parts, F.col(bucket_col), *[F.col(c) for c in cluster_by]
+            ).sortWithinPartitions(bucket_col, *cluster_by)
+        elif write_salt > 1:
             salted = df.repartition(
                 n_parts, F.col(bucket_col), F.pmod(F.xxhash64(F.col(snap.key_cols[-1])), F.lit(write_salt))
             )

@@ -375,3 +375,33 @@ def test_metrics_df_empty_dir_is_empty_frame(spark, make_table):
 
     tbl = make_table()
     assert metrics_df(spark, tbl.path).count() == 0
+
+
+def test_clustered_compaction_narrows_stats_and_prunes(spark, make_table):
+    """compact(cluster_by=["ts"]) range-splits each bucket's rewrite so
+    per-file min/max ts stats become narrow slivers; a stats_range
+    window read then skips most files — the Iceberg sort-order payoff
+    at consumption time."""
+    tbl = make_table(n_buckets=2)
+    rows = [("I", f"c{i % 8}", i, "user", f"t{i}", None, i * 86400, i + 1) for i in range(200)]
+    _apply(spark, tbl, rows, "b1")
+
+    compact(spark, tbl, all_buckets=True)  # unclustered baseline rewrite
+    base_files = tbl.snapshot().files
+    spans = [(f["min_ts"], f["max_ts"]) for f in base_files]
+
+    compact(spark, tbl, all_buckets=True, write_salt=4, cluster_by=["ts"])
+    snap = tbl.snapshot()
+    assert len(snap.files) > len(base_files)  # each bucket split into range slivers
+    # every clustered file's ts span is strictly inside the bucket-wide span
+    widest = max(f["max_ts"] for f in base_files)
+    narrowest = min(f["min_ts"] for f in base_files)
+    assert all(not (f["min_ts"] == narrowest and f["max_ts"] == widest) for f in snap.files)
+
+    lo, hi = "2026-02-01T00:00:00", "2026-02-10T00:00:00"
+    pruned = tbl.read(spark, stats_range={"ts": (lo, hi)})
+    assert 0 < len(pruned.inputFiles()) < len(snap.files)
+    # pruning is only a skip, never a wrong answer
+    got = pruned.filter((F.col("ts") >= lo) & (F.col("ts") <= hi)).count()
+    full = tbl.read(spark).filter((F.col("ts") >= lo) & (F.col("ts") <= hi)).count()
+    assert got == full > 0

@@ -573,6 +573,41 @@ class LakeTable:
     def total_rows(self) -> int:
         return sum(f["rows"] for f in self.snapshot().files)
 
+    def files_df(self, spark: SparkSession, *, snapshot_version: int | None = None) -> DataFrame:
+        """The live manifest as a queryable DataFrame (Iceberg
+        ``table$files`` metadata-table analog): one row per data file
+        with its bucket, row count, byte size, and the min/max stat
+        columns the manifest carries (stats as ISO strings — the
+        manifest's JSON-safe representation). The operational surface
+        for layout questions — file-size histograms before scheduling
+        compaction, stat-span width before choosing ``cluster_by``,
+        rows-per-bucket skew. Driver-side manifest parse (O(files)),
+        distributed from then on."""
+        snap = self.snapshot(snapshot_version)
+        stat_cols = sorted({k for f in snap.files for k in f if k.startswith(("min_", "max_"))})
+        rows = []
+        for f in snap.files:
+            p = os.path.join(self.path, f["path"])
+            rows.append(
+                {
+                    "path": f["path"],
+                    "bucket": int(f["bucket"]),
+                    "rows": int(f["rows"]),
+                    "bytes": os.path.getsize(p) if os.path.exists(p) else None,
+                    **{c: (str(f[c]) if f.get(c) is not None else None) for c in stat_cols},
+                }
+            )
+        schema = T.StructType(
+            [
+                T.StructField("path", T.StringType(), False),
+                T.StructField("bucket", T.IntegerType(), False),
+                T.StructField("rows", T.LongType(), False),
+                T.StructField("bytes", T.LongType(), True),
+            ]
+            + [T.StructField(c, T.StringType(), True) for c in stat_cols]
+        )
+        return spark.createDataFrame(rows, schema)
+
     def quarantine_path(self) -> str:
         return os.path.join(self.path, "quarantine")
 

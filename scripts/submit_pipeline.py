@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
     ap.add_argument("--run-qa", action="store_true",
                     help="medallion mode: per-batch scoped QA + qa_results table")
+    ap.add_argument("--publish-tag", default=None,
+                    help="medallion mode: after the feed drains, run the full audit "
+                         "and advance this consumer tag (write-audit-publish) only "
+                         "if no critical check fails; on failure the tag stays at "
+                         "the last audited-good versions and the process exits 3")
     ap.add_argument("--local-cores", type=int, default=None,
                     help="build a local[N] session (omit under spark-submit on a cluster)")
     return ap
@@ -178,6 +183,16 @@ def main(argv: list[str] | None = None) -> dict:
         # keep the driver alive until externally stopped
         q.awaitTermination()
         out = {"mode": "medallion", **n}
+        if args.publish_tag:
+            gate = pipe.audit_and_publish(spark, tag=args.publish_tag)
+            out["published"] = gate["published"]
+            out["publish_tag"] = args.publish_tag
+            if not gate["published"]:
+                out["critical_failures"] = [
+                    f"{r['test_layer']}:{r['test_name']}" for r in gate["critical_failures"]
+                ]
+                print(json.dumps(out))
+                sys.exit(3)
 
     print(json.dumps(out))
     return out

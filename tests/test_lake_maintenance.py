@@ -405,3 +405,17 @@ def test_clustered_compaction_narrows_stats_and_prunes(spark, make_table):
     got = pruned.filter((F.col("ts") >= lo) & (F.col("ts") <= hi)).count()
     full = tbl.read(spark).filter((F.col("ts") >= lo) & (F.col("ts") <= hi)).count()
     assert got == full > 0
+
+
+def test_files_df_metadata_table(spark, make_table):
+    """files_df is the queryable manifest (Iceberg table$files analog):
+    one row per live file, rows/bytes/stat columns reconciling with the
+    snapshot manifest."""
+    tbl = make_table(n_buckets=4)
+    _apply(spark, tbl, [("I", f"c{i}", 0, "user", "x", None, 10 + i, i + 1) for i in range(20)], "b1")
+    fdf = tbl.files_df(spark)
+    snap = tbl.snapshot()
+    assert fdf.count() == len(snap.files)
+    assert fdf.agg(F.sum("rows")).collect()[0][0] == sum(f["rows"] for f in snap.files)
+    assert fdf.filter("bytes IS NULL").count() == 0
+    assert "min_ts" in fdf.columns and "max_lsn" in fdf.columns

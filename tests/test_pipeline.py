@@ -659,3 +659,39 @@ def test_ledger_trim_past_capacity_stays_correct(spark, tmp_path, monkeypatch):
     r0 = p.apply_batch(spark, batches[0], 0)
     assert not r0.bronze.skipped
     assert state() == before
+
+
+def test_submit_pipeline_publish_tag_gate(spark, tmp_path, monkeypatch):
+    """--publish-tag runs the WAP gate after the feed drains: a clean
+    audit advances the consumer tag on every pipeline table."""
+    import importlib
+    import sys
+    from pathlib import Path
+
+    from digital_analytics_data_platform_spark.streaming.source import write_log_segments
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    submit = importlib.import_module("submit_pipeline")
+
+    import digital_analytics_data_platform_spark.session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
+
+    log = datagen.change_log(spark, 1000, n_convs=10, turns_per_conv=5)
+    feed = str(tmp_path / "feed")
+    write_log_segments(log, feed, n_segments=1)
+    lake, ckpt = str(tmp_path / "lake"), str(tmp_path / "ckpt")
+
+    out = submit.main([
+        "--feed-dir", feed, "--lake-dir", lake, "--checkpoint-dir", ckpt,
+        "--mode", "medallion", "--strategy", "mor", "--n-buckets", "8",
+        "--local-cores", "8", "--publish-tag", "published",
+    ])
+    assert out["published"] is True and out["publish_tag"] == "published"
+
+    from digital_analytics_data_platform_spark.lake import LakeTable
+
+    for layer in ("bronze", "silver", "gold_daily"):
+        tbl = LakeTable.load(f"{lake}/{layer}")
+        assert "published" in tbl.tags()
+        assert tbl.read(spark, tag="published").count() == tbl.read(spark).count()

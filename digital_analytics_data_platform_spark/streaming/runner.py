@@ -62,6 +62,7 @@ def apply_stream(
     await_termination: bool = True,
     strategy: str = "cow",
     compact_every: int = 0,
+    compact_cluster_by: list[str] | None = None,
     history_path: str | None = None,
     conflict_retries: int = 3,
 ):
@@ -77,6 +78,12 @@ def apply_stream(
     same ``pipeline_id:batchId`` key: a crash between the two commits
     replays the batch and each sink independently skips or applies —
     the pair converges without cross-sink coordination.
+
+    ``compact_cluster_by``: columns to range-cluster on during the
+    periodic ``compact_every`` rewrite (see
+    :func:`~..lake.merge.compact`) — a live tail that also serves
+    dashboard window reads keeps its file-level ``ts`` stats tight
+    without a separate maintenance job.
 
     ``conflict_retries``: optimistic-concurrency budget passed through to
     :func:`merge_changes` / :func:`compact` — a concurrent writer on the
@@ -133,7 +140,13 @@ def apply_stream(
                 conflict_retries=conflict_retries,
             )
         if compact_every and not res.skipped and metrics.batches % compact_every == 0:
-            compact(spark, table, write_salt=write_salt, conflict_retries=conflict_retries)
+            compact(
+                spark,
+                table,
+                write_salt=write_salt,
+                cluster_by=compact_cluster_by,
+                conflict_retries=conflict_retries,
+            )
         rec = {"pipeline_id": pipeline_id, "batch_id": batch_id, **asdict(res)}
         with open(os.path.join(metrics_path, f"{pipeline_id}_batch_{batch_id:09d}.json"), "w") as f:
             json.dump(rec, f)

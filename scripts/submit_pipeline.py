@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help=">1 spreads hot-conversation writes over several tasks")
     ap.add_argument("--compact-every", type=int, default=0,
                     help="bronze-only: fold MOR deltas every N batches")
+    ap.add_argument("--compact-cluster-by", default=None,
+                    help="comma-separated columns to range-cluster on during the "
+                         "periodic compact (e.g. 'ts' for window-read pruning)")
     ap.add_argument("--trigger", default="available-now",
                     help="'available-now' (bounded replay) or a processingTime "
                          "interval like '30 seconds' (live tail)")
@@ -131,6 +134,9 @@ def main(argv: list[str] | None = None) -> dict:
             write_salt=args.write_salt,
             strategy=args.strategy,
             compact_every=args.compact_every,
+            compact_cluster_by=(
+                args.compact_cluster_by.split(",") if args.compact_cluster_by else None
+            ),
             # block in BOTH trigger modes: a processingTime tail that
             # returns would exit the process and kill the stream
             await_termination=True,

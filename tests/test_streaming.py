@@ -341,3 +341,38 @@ def test_wal2json_wire_stream_applies_identically(spark, tmp_path):
 
     with pytest.raises(ValueError):
         cdc_json_stream(spark, wire_dir, codec="nope")
+
+
+def test_streaming_periodic_compact_clusters(spark, make_table, tmp_path):
+    """compact_every + compact_cluster_by: the live tail's periodic
+    compaction range-clusters on ts, so per-file ts spans narrow and a
+    stats_range window read prunes files — no separate maintenance job."""
+    log = datagen.change_log(spark, 4_000, n_convs=60, turns_per_conv=10, garbage_frac=0.0)
+    log_dir = str(tmp_path / "log")
+    write_log_segments(log, log_dir, n_segments=2)
+    tbl = make_table(n_buckets=2)
+    src = cdc_file_stream(spark, log_dir, max_files_per_trigger=1)
+    _, m = apply_stream(
+        spark,
+        src,
+        tbl.path,
+        str(tmp_path / "ckpt"),
+        pipeline_id="bronze",
+        strategy="mor",
+        compact_every=2,
+        compact_cluster_by=["ts"],
+        write_salt=4,
+    )
+    assert m.batches == 2  # compaction fired on the final batch
+    snap = tbl.snapshot()
+    assert len(snap.files) > snap.n_buckets  # range slivers, not 1 file/bucket
+    lo = min(f["min_ts"] for f in snap.files)
+    hi = max(f["max_ts"] for f in snap.files)
+    assert any(f["min_ts"] > lo or f["max_ts"] < hi for f in snap.files)
+    # pruned window read stays correct
+    mid = sorted(f["min_ts"] for f in snap.files)[len(snap.files) // 2]
+    pruned = tbl.read(spark, stats_range={"ts": (lo, mid)})
+    assert len(pruned.inputFiles()) < len(snap.files)
+    got = pruned.filter((F.col("ts") >= lo) & (F.col("ts") <= mid)).count()
+    full = tbl.read(spark).filter((F.col("ts") >= lo) & (F.col("ts") <= mid)).count()
+    assert got == full > 0

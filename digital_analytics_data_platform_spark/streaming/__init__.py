@@ -8,7 +8,18 @@ backfill/replay (the chunked-backfill-loop analog,
 ``processingTime`` triggers for tailing a live feed.
 """
 
-from .source import cdc_file_stream, cdc_schema, write_log_segments
+from .source import cdc_file_stream, cdc_json_stream, cdc_schema, write_log_segments
 from .runner import apply_stream, metrics_df, StreamMetrics
+from .relay import relay_changes, RelayResult
 
-__all__ = ["cdc_file_stream", "cdc_schema", "write_log_segments", "apply_stream", "metrics_df", "StreamMetrics"]
+__all__ = [
+    "cdc_file_stream",
+    "cdc_json_stream",
+    "cdc_schema",
+    "write_log_segments",
+    "apply_stream",
+    "metrics_df",
+    "StreamMetrics",
+    "relay_changes",
+    "RelayResult",
+]

@@ -68,6 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "and advance this consumer tag (write-audit-publish) only "
                          "if no critical check fails; on failure the tag stays at "
                          "the last audited-good versions and the process exits 3")
+    ap.add_argument("--relay-out", default=None,
+                    help="after the feed drains, relay the bronze table's "
+                         "incremental changelog to this dir as wire envelopes "
+                         "(CDC-out mirror; cursor-resumable across runs)")
+    ap.add_argument("--relay-codec", default="debezium",
+                    choices=["debezium", "wal2json", "maxwell", "canal"])
     ap.add_argument("--local-cores", type=int, default=None,
                     help="build a local[N] session (omit under spark-submit on a cluster)")
     return ap
@@ -199,6 +205,22 @@ def main(argv: list[str] | None = None) -> dict:
                 ]
                 print(json.dumps(out))
                 sys.exit(3)
+
+    if args.relay_out:
+        from digital_analytics_data_platform_spark.streaming import relay_changes
+
+        res = relay_changes(
+            spark,
+            LakeTable.load(f"{args.lake_dir}/bronze"),
+            args.relay_out,
+            codec=args.relay_codec,
+        )
+        out["relay"] = {
+            "since_version": res.since_version,
+            "until_version": res.until_version,
+            "rows": res.rows,
+            "segments": len(res.segments),
+        }
 
     print(json.dumps(out))
     return out

@@ -1,0 +1,114 @@
+"""Lake → wire CDC-out relay: a downstream mirror tailing the relayed
+envelopes must converge to the source table's exact state — the
+outbound analog of the replay-equivalence north rule."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from digital_analytics_data_platform_spark import datagen
+from digital_analytics_data_platform_spark.lake import compact, merge_changes
+from digital_analytics_data_platform_spark.streaming import (
+    apply_stream,
+    cdc_json_stream,
+    relay_changes,
+)
+
+COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn"]
+
+
+def _state(spark, tbl):
+    return sorted(tuple(r) for r in tbl.read(spark).select(*COLS).collect())
+
+
+def _mirror_tick(spark, wire_dir, mirror, ckpt, codec):
+    src = cdc_json_stream(spark, wire_dir, codec=codec)
+    return apply_stream(spark, src, mirror.path, ckpt, pipeline_id="mirror")[1]
+
+
+@pytest.mark.parametrize("codec", ["debezium", "canal"])
+def test_relay_mirror_converges(spark, make_table, tmp_path, codec):
+    log = datagen.change_log(
+        spark, 3_000, n_convs=40, turns_per_conv=8, garbage_frac=0.0
+    ).cache()
+    src_tbl = make_table("src", n_buckets=4)
+    mirror = make_table("mirror", n_buckets=4)
+    wire_dir = str(tmp_path / "wire")
+    ckpt = str(tmp_path / "ckpt")
+
+    # tick 1: two MOR batches (includes deletes from the generator)
+    for i in range(2):
+        merge_changes(
+            spark,
+            src_tbl,
+            log.filter((F.col("lsn") >= i * 750) & (F.col("lsn") < (i + 1) * 750)),
+            batch_key=f"b{i}",
+            strategy="mor",
+        )
+    r1 = relay_changes(spark, src_tbl, wire_dir, codec=codec)
+    assert not r1.skipped and r1.rows > 0 and r1.segments
+    assert all(s.endswith(".jsonl") for s in r1.segments)
+    _mirror_tick(spark, wire_dir, mirror, ckpt, codec)
+    assert _state(spark, mirror) == _state(spark, src_tbl)
+
+    # idle tick: nothing new → nothing written, cursor unchanged
+    r_idle = relay_changes(spark, src_tbl, wire_dir, codec=codec)
+    assert r_idle.skipped and r_idle.rows == 0 and not r_idle.segments
+
+    # tick 2: more batches + a compaction commit in the window — the
+    # conservative superset re-emission must stay idempotent downstream
+    for i in range(2, 4):
+        merge_changes(
+            spark,
+            src_tbl,
+            log.filter((F.col("lsn") >= i * 750) & (F.col("lsn") < (i + 1) * 750)),
+            batch_key=f"b{i}",
+            strategy="mor",
+        )
+    compact(spark, src_tbl, all_buckets=True)
+    r2 = relay_changes(spark, src_tbl, wire_dir, codec=codec)
+    assert r2.since_version == r1.until_version and r2.until_version > r2.since_version
+    _mirror_tick(spark, wire_dir, mirror, ckpt, codec)
+    assert _state(spark, mirror) == _state(spark, src_tbl)
+    assert len(_state(spark, mirror)) > 0
+
+
+def test_relay_delete_rides_the_wire(spark, make_table, tmp_path):
+    from tests.conftest import cdc_rows
+
+    src_tbl = make_table("src2", n_buckets=2)
+    mirror = make_table("mirror2", n_buckets=2)
+    wire_dir = str(tmp_path / "w2")
+    ckpt = str(tmp_path / "ck2")
+    merge_changes(
+        spark,
+        src_tbl,
+        cdc_rows(spark, [("I", "c1", 0, "user", "hello", None, 10, 1),
+                         ("I", "c2", 0, "user", "bye", None, 11, 2)]),
+        batch_key="b1",
+    )
+    relay_changes(spark, src_tbl, wire_dir)
+    _mirror_tick(spark, wire_dir, mirror, ckpt, "debezium")
+    merge_changes(
+        spark,
+        src_tbl,
+        cdc_rows(spark, [("D", "c2", 0, None, None, None, 20, 3)]),
+        batch_key="b2",
+    )
+    r = relay_changes(spark, src_tbl, wire_dir)
+    assert r.rows >= 1
+    m = _mirror_tick(spark, wire_dir, mirror, ckpt, "debezium")
+    assert m.deletes >= 1
+    assert _state(spark, mirror) == _state(spark, src_tbl)
+    assert {r[0] for r in _state(spark, mirror)} == {"c1"}
+
+
+def test_relay_unknown_codec_and_cursor(spark, make_table, tmp_path):
+    src_tbl = make_table("src3", n_buckets=2)
+    with pytest.raises(ValueError):
+        relay_changes(spark, src_tbl, str(tmp_path / "w3"), codec="nope")
+    # fresh table, version 0 → skip, no cursor advance needed
+    r = relay_changes(spark, src_tbl, str(tmp_path / "w3"))
+    assert r.skipped
+    assert not os.path.exists(str(tmp_path / "w3" / "_relay_cursor.json"))

@@ -522,6 +522,121 @@ class LakeTable:
             F.when(F.col(DELETED_COL), F.lit("delete")).otherwise(F.lit("upsert")).alias("_change_type"),
         )
 
+    def read_changelog(
+        self,
+        spark: SparkSession,
+        *,
+        since_version: int,
+        until_version: int | None = None,
+    ) -> DataFrame:
+        """Changelog with **before/after row images** — the Delta CDF
+        ``update_preimage``/``update_postimage`` analog (Iceberg
+        ``create_changelog_view`` with ``compute-updates``), folded into
+        one row per changed key: ``(*key_cols, before: struct, after:
+        struct, _change_type, *order_cols)`` where ``_change_type`` ∈
+        {``insert``, ``update``, ``delete``}. ``before`` is null for
+        inserts, ``after`` is null for deletes; both structs are in the
+        *new* snapshot's row schema (columns added or widened mid-stream
+        appear in old images as null / widened casts). The flat
+        ``order_cols`` (the Delta CDF ``_commit_timestamp`` analog) are
+        the *change event's own* position — for deletes that is the
+        tombstone's ``(ts, lsn)``, which the nulled ``after`` image no
+        longer carries — so downstream consumers can re-serialize the
+        feed in true event order.
+
+        Unlike :meth:`read_changes` (which re-emits untouched keys from
+        rewritten buckets as a conservative superset), this view is
+        **exact**: a key whose before and after images are equal is not
+        a change and is dropped, so compaction / clustering / rescale
+        commits produce an empty changelog. Cost: one extra pruned read
+        of the *old* snapshot (same touched buckets when the bucket spec
+        is unchanged; all old buckets after a rescale, still key-semi-
+        joined) + a key-partitioned full-outer join — O(touched), never
+        O(table).
+        """
+        new = self.snapshot(until_version)
+        old = self.snapshot(since_version)
+        old_paths = {f["path"] for f in old.files}
+        added = [f for f in new.files if f["path"] not in old_paths]
+        schema = new.schema()
+        row_fields = [f for f in schema.fields if f.name != DELETED_COL]
+        row_cols = [f.name for f in row_fields]
+        row_t = T.StructType(row_fields)
+        out_schema = T.StructType(
+            [f for f in row_fields if f.name in new.key_cols]
+            + [
+                T.StructField("before", row_t),
+                T.StructField("after", row_t),
+                T.StructField("_change_type", T.StringType(), False),
+            ]
+            + [f for f in row_fields if f.name in new.order_cols]
+        )
+        if not added:
+            return spark.createDataFrame([], out_schema)
+        touched = sorted({f["bucket"] for f in added})
+        df_added = spark.read.schema(schema).parquet(
+            *[os.path.join(self.path, f["path"]) for f in added]
+        )
+        keys = df_added.select(*new.key_cols).distinct()
+
+        cur = self.read(
+            spark,
+            buckets=touched,
+            include_deleted=True,
+            snapshot_version=new.version,
+            collapse=True,
+        ).join(keys, on=new.key_cols, how="left_semi")
+        # Old-snapshot state of the same keys. Bucket ids are only
+        # comparable across snapshots under the same bucket spec; after
+        # a rescale_buckets the old manifest is read unpruned (the key
+        # semi-join still bounds the join work).
+        prev = self.read(
+            spark,
+            buckets=touched if old.n_buckets == new.n_buckets else None,
+            include_deleted=True,
+            snapshot_version=old.version,
+            collapse=True,
+        )
+        # Align the old read to the new row schema: mid-stream-added
+        # columns surface as null, widened columns cast up.
+        prev = prev.select(
+            *[
+                (F.col(f.name) if f.name in prev.columns else F.lit(None)).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        ).join(keys, on=new.key_cols, how="left_semi")
+
+        def _imaged(df: DataFrame, side: str) -> DataFrame:
+            live = ~F.col(DELETED_COL)
+            return df.select(
+                *new.key_cols,
+                F.when(live, F.struct(*[F.col(c) for c in row_cols])).alias(side),
+                # tombstone rows keep their event position here even
+                # though the image struct above is nulled
+                *[F.col(c).alias(f"_{side}_{c}") for c in new.order_cols],
+            )
+
+        joined = _imaged(prev, "before").join(_imaged(cur, "after"), on=new.key_cols, how="full")
+        b, a = F.col("before"), F.col("after")
+        return (
+            joined.select(
+                *new.key_cols,
+                "before",
+                "after",
+                F.when(b.isNull() & a.isNotNull(), F.lit("insert"))
+                .when(b.isNotNull() & a.isNull(), F.lit("delete"))
+                .when(b.isNotNull() & a.isNotNull() & ~b.eqNullSafe(a), F.lit("update"))
+                .alias("_change_type"),
+                *[
+                    F.coalesce(F.col(f"_after_{c}"), F.col(f"_before_{c}")).alias(c)
+                    for c in new.order_cols
+                ],
+            )
+            # both-null (delete of a never-live key) and no-op rewrites
+            # (compaction superset, same-value upsert) are not changes
+            .filter(F.col("_change_type").isNotNull())
+        )
+
     # -- observability ---------------------------------------------------
 
     def lineage_df(self, spark: SparkSession, *, since_version: int = 0) -> DataFrame:

@@ -92,17 +92,38 @@ def encode_envelopes(
     lsn_col: str = "lsn",
     commit_lsn_col: str | None = "commit_lsn",
     pk_names: tuple[str, ...] = ("conv_id", "turn_idx"),
+    before_col: str | None = None,
 ) -> DataFrame:
     """Inverse of :func:`decode_envelopes` (test/bench feed builder):
     one row per message, values stringified the way Canal does (CAST to
-    string — timestamps keep microseconds, which CAST parses back)."""
+    string — timestamps keep microseconds, which CAST parses back).
+
+    ``before_col`` (optional) names a struct column with the pre-update
+    row image; when set, ``UPDATE`` messages carry Canal's ``old``
+    array — one map of the changed columns' previous (stringified)
+    values, parallel to ``data``."""
     kv = []
     for c in row_cols:
         kv.append(F.lit(c))
         kv.append(F.col(c).cast("string"))
+    old = F.lit(None).cast(T.ArrayType(T.MapType(T.StringType(), T.StringType())))
+    if before_col is not None:
+        old_kv = []
+        for c in row_cols:
+            old_kv.append(F.lit(c))
+            old_kv.append(
+                F.when(
+                    ~F.col(before_col)[c].eqNullSafe(F.col(c)),
+                    F.col(before_col)[c].cast("string"),
+                )
+            )
+        old = F.when(
+            F.col(op_col) == "U",
+            F.array(F.map_filter(F.create_map(*old_kv), lambda _k, v: v.isNotNull())),
+        ).otherwise(old)
     env = F.struct(
         F.array(F.create_map(*kv)).alias("data"),
-        F.lit(None).cast(T.ArrayType(T.MapType(T.StringType(), T.StringType()))).alias("old"),
+        old.alias("old"),
         F.lit("analytics").alias("database"),
         F.lit("transcripts").alias("table"),
         F.col(lsn_col).cast("long").alias("es"),

@@ -108,16 +108,27 @@ def encode_envelopes(
     lsn_col: str = "lsn",
     commit_lsn_col: str | None = "commit_lsn",
     ts_ms_col: str | None = None,
+    before_col: str | None = None,
 ) -> DataFrame:
     """Inverse of :func:`decode_envelopes` (test/bench feed builder and
     outbound CDC mirror): wrap change rows as Debezium JSON envelopes in
     a single ``value`` string column. Deletes carry the image in
     ``before`` with ``after`` null, everything else the reverse —
-    matching the connector contract ``decode_envelopes`` parses."""
+    matching the connector contract ``decode_envelopes`` parses.
+
+    ``before_col`` (optional) names a struct column holding the
+    pre-update row image (fields = ``row_cols``, e.g. from
+    ``LakeTable.read_changelog``); when set, ``u`` envelopes carry it
+    in ``before`` — the full Debezium update contract — instead of
+    null. Decode is unaffected (the engine's LWW apply keys on the
+    after image)."""
     payload = F.struct(*[F.col(c) for c in row_cols])
     is_del = F.col(op_col) == "D"
+    before = F.when(is_del, payload)
+    if before_col is not None:
+        before = before.when(F.col(op_col) == "U", F.col(before_col))
     env = F.struct(
-        F.when(is_del, payload).alias("before"),
+        before.alias("before"),
         F.when(~is_del, payload).alias("after"),
         F.when(F.col(op_col) == "I", F.lit("c"))
         .when(F.col(op_col) == "U", F.lit("u"))

@@ -106,11 +106,32 @@ def encode_envelopes(
     commit_lsn_col: str | None = "commit_lsn",
     ts_s_col: str | None = None,
     binlog_file: str = "binlog.000001",
+    before_col: str | None = None,
 ) -> DataFrame:
     """Inverse of :func:`decode_envelopes` (test/bench feed builder and
     outbound mirror): the ``lsn`` rides as the offset in ``position``
-    so decode(encode(x)) round-trips ordering exactly."""
+    so decode(encode(x)) round-trips ordering exactly.
+
+    ``before_col`` (optional) names a struct column with the pre-update
+    row image; when set, ``update`` envelopes carry Maxwell's ``old``
+    field — the previous values of exactly the columns that changed
+    (unchanged columns are nulled and dropped from the JSON, Maxwell's
+    own contract). A column that changed *from* SQL null is likewise
+    absent — an accepted fidelity limit of null-dropping JSON."""
     payload = F.struct(*[F.col(c) for c in row_cols])
+    old = F.lit(None).cast(T.StructType([T.StructField(c, T.StringType()) for c in row_cols]))
+    if before_col is not None:
+        old = F.when(
+            F.col(op_col) == "U",
+            F.struct(
+                *[
+                    F.when(
+                        ~F.col(before_col)[c].eqNullSafe(F.col(c)), F.col(before_col)[c]
+                    ).alias(c)
+                    for c in row_cols
+                ]
+            ),
+        )
     env = F.struct(
         F.lit("analytics").alias("database"),
         F.lit("transcripts").alias("table"),
@@ -127,5 +148,6 @@ def encode_envelopes(
         F.lit(True).alias("commit"),
         F.concat(F.lit(binlog_file + ":"), F.col(lsn_col).cast("string")).alias("position"),
         payload.alias("data"),
+        old.alias("old"),
     )
     return changes.select(F.to_json(env, _JSON_OPTS).alias("value"))

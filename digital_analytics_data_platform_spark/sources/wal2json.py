@@ -118,12 +118,18 @@ def encode_envelopes(
     lsn_col: str = "lsn",
     commit_lsn_col: str | None = "commit_lsn",
     table: str = "transcripts",
+    before_col: str | None = None,
 ) -> DataFrame:
     """Inverse of :func:`decode_envelopes` (test/bench feed builder and
     outbound mirror): the long ``lsn`` unfolds back to the hex pair so
     decode(encode(x)) round-trips ordering exactly. DELETE rows carry
     the full image in ``identity`` (REPLICA IDENTITY FULL) and null
-    ``columns``, matching what the decoder expects."""
+    ``columns``, matching what the decoder expects.
+
+    ``before_col`` (optional) names a struct column with the pre-update
+    row image; when set, ``U`` envelopes also carry the old row in
+    ``identity`` — wal2json's REPLICA IDENTITY FULL update shape (the
+    decoder already prefers ``columns`` when both are present)."""
     entries = F.array(
         *[
             F.struct(
@@ -135,6 +141,21 @@ def encode_envelopes(
         ]
     )
     is_del = F.col(op_col) == "D"
+    identity = F.when(is_del, entries)
+    if before_col is not None:
+        identity = identity.when(
+            F.col(op_col) == "U",
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("name"),
+                        F.lit("text").alias("type"),
+                        F.col(before_col)[c].cast("string").alias("value"),
+                    )
+                    for c in row_cols
+                ]
+            ),
+        )
     lsn_hex = F.concat(
         F.lower(F.conv(F.shiftrightunsigned(F.col(lsn_col).cast("long"), 32), 10, 16)),
         F.lit("/"),
@@ -152,6 +173,6 @@ def encode_envelopes(
         F.lit("public").alias("schema"),
         F.lit(table).alias("table"),
         F.when(~is_del, entries).alias("columns"),
-        F.when(is_del, entries).alias("identity"),
+        identity.alias("identity"),
     )
     return changes.select(F.to_json(env).alias("value"))

@@ -87,6 +87,7 @@ def relay_changes(
     codec: str = "debezium",
     lsn_col: str = "lsn",
     n_segments: int = 1,
+    images: bool = False,
 ) -> RelayResult:
     """One relay tick: encode the table's changes since the cursor as
     ``codec`` envelopes and publish them as ``.jsonl`` segments under
@@ -100,6 +101,14 @@ def relay_changes(
     ordering authority stays with ``(ts, lsn)`` exactly as on the
     inbound wire.
 
+    ``images=True`` relays from :meth:`LakeTable.read_changelog`
+    instead: ops refine to true insert/update/delete, update envelopes
+    carry the pre-update row image in the codec's before slot
+    (Debezium ``before``, Maxwell/Canal ``old``, wal2json ``identity``),
+    and no-op rewrites (compaction, clustering, rescale) relay nothing
+    at all — the exact-changelog contract downstream diff consumers
+    need. Costs one extra pruned read of the old snapshot per tick.
+
     Returns a :class:`RelayResult`; ``skipped`` is true when the table
     has no commits past the cursor (nothing is written).
     """
@@ -110,21 +119,50 @@ def relay_changes(
     if until <= since:
         return RelayResult(since, since)
 
-    changes = table.read_changes(spark, since_version=since, until_version=until)
-    row_cols = [c for c in changes.columns if c not in ("_change_type", lsn_col)]
-    wire = mod.encode_envelopes(
-        changes.select(
-            *changes.columns,
-            F.when(F.col("_change_type") == "delete", F.lit("D"))
+    if images:
+        clog = table.read_changelog(spark, since_version=since, until_version=until)
+        all_cols = [f.name for f in clog.schema["after"].dataType.fields]
+        row_cols = [c for c in all_cols if c != lsn_col]
+        img = F.coalesce(F.col("after"), F.col("before"))
+        changes = clog.select(
+            # payload columns from the row image; the wire position
+            # (lsn) from the changelog's flat event-order column, so a
+            # delete rides at the tombstone's lsn, not its before-image's
+            *[img[c].alias(c) if c != lsn_col else F.col(lsn_col) for c in all_cols],
+            F.when(F.col("_change_type") == "insert", F.lit("I"))
+            .when(F.col("_change_type") == "delete", F.lit("D"))
             .otherwise(F.lit("U"))
             .alias("_op"),
+            F.when(
+                F.col("before").isNotNull(),
+                F.struct(*[F.col("before")[c].alias(c) for c in row_cols]),
+            ).alias("_before"),
             F.lit(until).cast("long").alias("_commit"),
-        ),
-        row_cols,
-        op_col="_op",
-        lsn_col=lsn_col,
-        commit_lsn_col="_commit",
-    )
+        )
+        wire = mod.encode_envelopes(
+            changes,
+            row_cols,
+            op_col="_op",
+            lsn_col=lsn_col,
+            commit_lsn_col="_commit",
+            before_col="_before",
+        )
+    else:
+        changes = table.read_changes(spark, since_version=since, until_version=until)
+        row_cols = [c for c in changes.columns if c not in ("_change_type", lsn_col)]
+        wire = mod.encode_envelopes(
+            changes.select(
+                *changes.columns,
+                F.when(F.col("_change_type") == "delete", F.lit("D"))
+                .otherwise(F.lit("U"))
+                .alias("_op"),
+                F.lit(until).cast("long").alias("_commit"),
+            ),
+            row_cols,
+            op_col="_op",
+            lsn_col=lsn_col,
+            commit_lsn_col="_commit",
+        )
 
     staging = os.path.join(out_dir, f"_staging_{uuid.uuid4().hex}")
     wire.coalesce(max(1, n_segments)).write.mode("overwrite").text(staging)

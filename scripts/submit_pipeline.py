@@ -74,6 +74,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "(CDC-out mirror; cursor-resumable across runs)")
     ap.add_argument("--relay-codec", default="debezium",
                     choices=["debezium", "wal2json", "maxwell", "canal"])
+    ap.add_argument("--relay-images", action="store_true",
+                    help="relay the exact before/after-image changelog instead of "
+                         "the upsert superset: true insert/update/delete ops, "
+                         "update envelopes carry the pre-update row image, "
+                         "compaction/rescale windows relay nothing")
     ap.add_argument("--local-cores", type=int, default=None,
                     help="build a local[N] session (omit under spark-submit on a cluster)")
     return ap
@@ -214,6 +219,7 @@ def main(argv: list[str] | None = None) -> dict:
             LakeTable.load(f"{args.lake_dir}/bronze"),
             args.relay_out,
             codec=args.relay_codec,
+            images=args.relay_images,
         )
         out["relay"] = {
             "since_version": res.since_version,

@@ -112,3 +112,94 @@ def test_relay_unknown_codec_and_cursor(spark, make_table, tmp_path):
     r = relay_changes(spark, src_tbl, str(tmp_path / "w3"))
     assert r.skipped
     assert not os.path.exists(str(tmp_path / "w3" / "_relay_cursor.json"))
+
+
+@pytest.mark.parametrize("codec", ["debezium", "wal2json", "maxwell", "canal"])
+def test_relay_images_mirror_converges_and_carries_before(
+    spark, make_table, tmp_path, codec
+):
+    """images=True relay: true insert/update/delete ops on the wire,
+    update envelopes carry the pre-update image in the codec's before
+    slot (Debezium `before`, wal2json `identity`, Maxwell/Canal `old`),
+    deletes ride at the tombstone's lsn, compaction relays nothing, and
+    a mirror tailing the feed still converges byte-for-byte."""
+    import json
+
+    from tests.conftest import cdc_rows
+
+    src_tbl = make_table(f"srci_{codec}", n_buckets=2)
+    mirror = make_table(f"mirri_{codec}", n_buckets=2)
+    wire_dir = str(tmp_path / f"wi_{codec}")
+    ckpt = str(tmp_path / f"cki_{codec}")
+
+    merge_changes(
+        spark,
+        src_tbl,
+        cdc_rows(
+            spark,
+            [
+                ("I", "c1", 0, "user", "hello", None, 10, 1),
+                ("I", "c2", 0, "user", "bye", None, 11, 2),
+            ],
+        ),
+        batch_key="b1",
+        strategy="mor",
+    )
+    r1 = relay_changes(spark, src_tbl, wire_dir, codec=codec, images=True)
+    assert r1.rows == 2
+    _mirror_tick(spark, wire_dir, mirror, ckpt, codec)
+
+    merge_changes(
+        spark,
+        src_tbl,
+        cdc_rows(
+            spark,
+            [
+                ("U", "c1", 0, "user", "hello-EDIT", "search", 20, 3),
+                ("D", "c2", 0, None, None, None, 20, 4),
+            ],
+        ),
+        batch_key="b2",
+        strategy="mor",
+    )
+    r2 = relay_changes(spark, src_tbl, wire_dir, codec=codec, images=True)
+    assert r2.rows == 2
+    envs = [
+        json.loads(ln)
+        for seg in r2.segments
+        for ln in open(seg).read().strip().split("\n")
+    ]
+    op_of = lambda j: j.get("op") or j.get("type") or j.get("action")  # noqa: E731
+    ups = [j for j in envs if op_of(j) in ("u", "U", "update", "UPDATE")]
+    dels = [j for j in envs if op_of(j) in ("d", "D", "delete", "DELETE")]
+    assert len(ups) == 1 and len(dels) == 1
+    before_slot = {
+        "debezium": "before",
+        "wal2json": "identity",
+        "maxwell": "old",
+        "canal": "old",
+    }[codec]
+    pre = ups[0].get(before_slot)
+    assert pre is not None and "hello" in json.dumps(pre)
+    # Maxwell/Canal old = changed columns only; unchanged `role` absent
+    if codec in ("maxwell", "canal"):
+        assert "user" not in json.dumps(pre)
+    # the delete envelope rides at the tombstone's lsn (4), not the
+    # before-image's (2)
+    dj = json.dumps(dels[0])
+    if codec == "debezium":
+        assert dels[0]["source"]["lsn"] == 4
+    elif codec == "maxwell":
+        assert dels[0]["position"].endswith(":4")
+    elif codec == "canal":
+        assert dels[0]["es"] == 4
+    else:
+        assert dels[0]["lsn"].endswith("/4"), dj
+
+    _mirror_tick(spark, wire_dir, mirror, ckpt, codec)
+    assert _state(spark, mirror) == _state(spark, src_tbl)
+
+    # a compaction-only window relays nothing in images mode
+    compact(spark, src_tbl, all_buckets=True)
+    r3 = relay_changes(spark, src_tbl, wire_dir, codec=codec, images=True)
+    assert r3.rows == 0

@@ -22,9 +22,11 @@ second writer fails loudly instead of corrupting state.
 
 from __future__ import annotations
 
+import base64
 import json
 import os
 import uuid
+import zlib
 from dataclasses import dataclass, field
 from typing import Any, Iterable
 
@@ -36,6 +38,24 @@ from pyspark.sql import types as T
 # late-arriving older update cannot resurrect a deleted key; readers
 # filter them, maintenance can expire them past the watermark.
 DELETED_COL = "_deleted"
+
+# Per-file bloom width in bits: 32768 is bitmap_construct_agg's single-
+# bucket capacity (4 KiB binary, ~5.5 KiB base64 in the manifest).
+# With k=1 the false-positive rate is 1 - e^(-n/m): ~3% at n=1k keys,
+# ~9% at 3k; blooms are dropped past n = m/4 (see _stats_job).
+_BLOOM_M_DEFAULT = 32768
+
+
+def _bloom_might_contain(b64: str, value: Any, m: int) -> bool:
+    """Driver-side membership probe against a base64 bitmap written by
+    ``bitmap_construct_agg`` (byte i holds bits [8i, 8i+8), LSB first —
+    layout pinned by tests). zlib.crc32 == Spark crc32 (same CRC-32
+    polynomial); `cast(col as binary)` on a string column is its UTF-8
+    bytes, so this probe is only valid for string bloom columns —
+    `_stats_job` enforces that on the write side."""
+    bitmap = base64.b64decode(b64)
+    pos = zlib.crc32(str(value).encode("utf-8")) % m
+    return bool(bitmap[pos >> 3] >> (pos & 7) & 1)
 
 
 class CommitConflict(RuntimeError):
@@ -219,6 +239,7 @@ class LakeTable:
         tag: str | None = None,
         min_order: tuple | None = None,
         stats_range: dict[str, tuple] | None = None,
+        bloom_eq: dict[str, Any] | None = None,
         collapse: bool | None = None,
     ) -> DataFrame:
         """Read the table at a snapshot. ``buckets`` prunes to the given
@@ -273,6 +294,24 @@ class LakeTable:
                         (hi is not None and f[f"min_{col}"] > hi)
                         or (lo is not None and f[f"max_{col}"] < lo)
                     )
+                ]
+        if bloom_eq:
+            # point-lookup file skipping via the per-file blooms (table
+            # prop `bloom_cols`): drop files whose bloom proves the key
+            # absent; files without a bloom (pre-bloom commits,
+            # saturated large files, all-null key column) are kept —
+            # skipping is conservative, the caller still applies the
+            # equality predicate on the returned frame. Skipping on a
+            # KEY column can never split a key's LWW version history:
+            # every version of a key carries the same key value, so a
+            # file is dropped only if it holds NO version of it.
+            bm = int(snap.props.get("bloom_m", _BLOOM_M_DEFAULT))
+            for col, val in bloom_eq.items():
+                files = [
+                    f
+                    for f in files
+                    if f.get(f"bloom_{col}") is None
+                    or _bloom_might_contain(f[f"bloom_{col}"], val, bm)
                 ]
         schema = snap.schema()
         if not files:
@@ -387,6 +426,30 @@ class LakeTable:
         aggs: list[F.Column] = [F.count(F.lit(1)).alias("rows")]
         for c in ocols:
             aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+        # Per-file bloom filters (Parquet split-block / Paimon file-index
+        # analog) for point-lookup file skipping on hash-distributed
+        # string keys, where min/max stats are uselessly wide inside a
+        # bucket. Opt-in via table prop `bloom_cols`; one
+        # bitmap_construct_agg per column rides the same groupBy pass
+        # (pure JVM — crc32 % m as the bit position, k=1). Read-side
+        # membership is checked driver-side with zlib.crc32 (same
+        # polynomial, parity covered by tests).
+        bloom_m = int(snap.props.get("bloom_m", _BLOOM_M_DEFAULT))
+        bloom_cols = [
+            c
+            for c in snap.props.get("bloom_cols", [])
+            if c in written.columns and isinstance(written.schema[c].dataType, T.StringType)
+        ]
+        for c in bloom_cols:
+            aggs.append(
+                F.base64(
+                    F.bitmap_construct_agg(
+                        F.bitmap_bit_position(
+                            F.pmod(F.crc32(F.col(c).cast("binary")), F.lit(bloom_m)) + 1
+                        )
+                    )
+                ).alias(f"bloom_{c}")
+            )
         for name, expr in (extra_stats or {}).items():
             aggs.append(expr.alias(name))
         rows = (
@@ -414,6 +477,12 @@ class LakeTable:
                 if r[f"min_{c}"] is not None:
                     entry[f"min_{c}"] = _json_safe(r[f"min_{c}"])
                     entry[f"max_{c}"] = _json_safe(r[f"max_{c}"])
+            for c in bloom_cols:
+                # a bloom near saturation (rows ≳ m/4 → FP > ~22%) no
+                # longer earns its manifest bytes; omit it — reads keep
+                # bloomless files, which is the conservative direction
+                if r[f"bloom_{c}"] is not None and entry["rows"] <= bloom_m // 4:
+                    entry[f"bloom_{c}"] = r[f"bloom_{c}"]
             for name in extra_stats or {}:
                 entry[name] = _json_safe(r[name])
             entries.append(entry)

@@ -1,0 +1,107 @@
+"""Per-file bloom filters (table prop `bloom_cols`) — the Parquet
+split-block / Paimon file-index analog for point-lookup file skipping
+on hash-distributed string keys, where per-file min/max stats are
+uselessly wide inside a bucket. Contracts: pruned point reads are
+value-identical to unpruned reads (skipping is conservative), actually
+skip files, saturated blooms are omitted (file kept), and non-string
+columns never get blooms."""
+
+from pyspark.sql import functions as F
+
+from digital_analytics_data_platform_spark.lake import merge_changes
+from digital_analytics_data_platform_spark.lake.table import (
+    _BLOOM_M_DEFAULT,
+    _bloom_might_contain,
+)
+from tests.conftest import TRANSCRIPT_SCHEMA, cdc_rows
+
+
+def _make_bloom_table(make_table, name, **props):
+    return make_table(name, n_buckets=2, props={"bloom_cols": ["conv_id"], **props})
+
+
+def _batches(spark, tbl, n_batches=4, convs_per_batch=30):
+    """Disjoint conv sets per MOR batch → many files per bucket, each
+    holding different keys (the delta-file shape blooms exist for)."""
+    for b in range(n_batches):
+        rows = [
+            ("U", f"conv_{b:02d}_{i:03d}", t, "user", f"m{b}/{i}/{t}", None, b * 600 + i, b * 1000 + i * 3 + t)
+            for i in range(convs_per_batch)
+            for t in range(3)
+        ]
+        merge_changes(spark, tbl, cdc_rows(spark, rows), batch_key=f"b{b}", strategy="mor")
+
+
+def test_bloom_point_read_prunes_files_and_stays_exact(spark, make_table):
+    tbl = _make_bloom_table(make_table, "bloom1")
+    _batches(spark, tbl)
+    snap = tbl.snapshot()
+    assert all(f.get("bloom_conv_id") for f in snap.files), "every delta file blooms"
+
+    total_files = len(snap.files)
+    target = "conv_01_007"
+    full = tbl.read(spark)
+    pruned = tbl.read(spark, bloom_eq={"conv_id": target})
+
+    expect = sorted(map(tuple, full.filter(F.col("conv_id") == target).collect()))
+    got = sorted(map(tuple, pruned.filter(F.col("conv_id") == target).collect()))
+    assert got == expect and len(got) == 3  # exactness: no version lost
+
+    scanned = len(pruned.inputFiles())
+    assert scanned < total_files, f"bloom pruned nothing ({scanned}/{total_files})"
+    # the target lives in exactly one batch → one file per (batch,
+    # bucket) pair can hold it; everything else kept is a false
+    # positive, bounded well below the full manifest
+    assert scanned <= total_files // 2
+
+
+def test_bloom_absent_key_reads_near_zero_files(spark, make_table):
+    tbl = _make_bloom_table(make_table, "bloom2")
+    _batches(spark, tbl, n_batches=3)
+    total = len(tbl.snapshot().files)
+    pruned = tbl.read(spark, bloom_eq={"conv_id": "conv_nope_999"})
+    assert pruned.filter(F.col("conv_id") == "conv_nope_999").count() == 0
+    # only false positives survive: at n≈90 keys/file and m=32768 the
+    # per-file FP rate is ~0.3%, so virtually always zero files remain
+    assert len(pruned.inputFiles()) < total
+
+
+def test_bloom_saturated_files_omit_bloom_and_are_kept(spark, make_table):
+    # m=128 → cutoff at 32 rows/file; 90 rows/bucket saturates it
+    tbl = _make_bloom_table(make_table, "bloom3", bloom_m=128)
+    _batches(spark, tbl, n_batches=1, convs_per_batch=60)
+    snap = tbl.snapshot()
+    assert all("bloom_conv_id" not in f for f in snap.files), "saturated blooms dropped"
+    pruned = tbl.read(spark, bloom_eq={"conv_id": "conv_00_000"})
+    assert len(pruned.inputFiles()) == len(snap.files)  # conservative: keep all
+    assert pruned.filter(F.col("conv_id") == "conv_00_000").count() == 3
+
+
+def test_bloom_non_string_columns_are_never_bloomed(spark, make_table):
+    tbl = make_table("bloom4", n_buckets=2, props={"bloom_cols": ["turn_idx", "conv_id"]})
+    _batches(spark, tbl, n_batches=1)
+    snap = tbl.snapshot()
+    assert all("bloom_turn_idx" not in f for f in snap.files)
+    assert all(f.get("bloom_conv_id") for f in snap.files)
+    # probing an un-bloomed column keeps every file (conservative)
+    pruned = tbl.read(spark, bloom_eq={"turn_idx": 1})
+    assert len(pruned.inputFiles()) == len(snap.files)
+
+
+def test_bloom_probe_matches_spark_crc32_layout(spark):
+    """Pin the bitmap layout + hash parity the driver-side probe relies
+    on: Spark's bitmap_construct_agg(bit_position(pmod(crc32(s), m)+1))
+    sets exactly the bit zlib.crc32(s) % m in LSB-first byte order."""
+    keys = [f"conv_{i}" for i in range(50)]
+    df = spark.createDataFrame([(k,) for k in keys], "conv_id string")
+    m = _BLOOM_M_DEFAULT
+    b64 = df.agg(
+        F.base64(
+            F.bitmap_construct_agg(
+                F.bitmap_bit_position(F.pmod(F.crc32(F.col("conv_id").cast("binary")), F.lit(m)) + 1)
+            )
+        ).alias("bm")
+    ).collect()[0]["bm"]
+    assert all(_bloom_might_contain(b64, k, m) for k in keys)
+    misses = sum(_bloom_might_contain(b64, f"other_{i}", m) for i in range(500))
+    assert misses <= 3  # FP ~ 50/32768 per probe

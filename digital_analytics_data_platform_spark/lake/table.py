@@ -617,11 +617,20 @@ class LakeTable:
         rewritten buckets as a conservative superset), this view is
         **exact**: a key whose before and after images are equal is not
         a change and is dropped, so compaction / clustering / rescale
-        commits produce an empty changelog. Cost: one extra pruned read
-        of the *old* snapshot (same touched buckets when the bucket spec
-        is unchanged; all old buckets after a rescale, still key-semi-
-        joined) + a key-partitioned full-outer join — O(touched), never
-        O(table).
+        commits produce an empty changelog.
+
+        Cost model (honest): ONE LWW-collapsed read of the touched
+        buckets at the *old* snapshot (the before-images; same touched
+        buckets when the bucket spec is unchanged, all old buckets
+        after a rescale — still key-semi-joined) + the window's added
+        files (O(delta)); the after-images are derived as
+        LWW(before-rows ∪ added-rows), never a second table read
+        (measured: the single-read plan keeps tick wall growth at the
+        plain relay's rate instead of 2×, `bench_runs/RELAY_r04.json`).
+        Exact before-images inherently price at touched-bucket data —
+        the same class as Iceberg's compute-updates changelog — so run
+        image ticks at coarser cadence than the plain upsert relay when
+        every batch touches every bucket.
         """
         new = self.snapshot(until_version)
         old = self.snapshot(since_version)
@@ -648,14 +657,7 @@ class LakeTable:
         )
         keys = df_added.select(*new.key_cols).distinct()
 
-        cur = self.read(
-            spark,
-            buckets=touched,
-            include_deleted=True,
-            snapshot_version=new.version,
-            collapse=True,
-        ).join(keys, on=new.key_cols, how="left_semi")
-        # Old-snapshot state of the same keys. Bucket ids are only
+        # Old-snapshot state of the touched keys. Bucket ids are only
         # comparable across snapshots under the same bucket spec; after
         # a rescale_buckets the old manifest is read unpruned (the key
         # semi-join still bounds the join work).
@@ -674,6 +676,29 @@ class LakeTable:
                 for f in schema.fields
             ]
         ).join(keys, on=new.key_cols, how="left_semi")
+        # After-images. Pure-append windows (every old file still live —
+        # the sustained MOR apply shape): LWW over the before rows ∪ the
+        # window's added rows, saving the second touched-bucket read of
+        # the new snapshot. Windows that REMOVED files (compaction,
+        # reconcile/bucket-replace, tombstone expiry) must read the new
+        # snapshot — a rewrite can legitimately retract a high-order
+        # version (conv-removal backfill), which the union would
+        # silently resurrect.
+        new_paths = {f["path"] for f in new.files}
+        if all(p in new_paths for p in old_paths):
+            cur = lww_collapse(
+                prev.unionByName(df_added.select(*[f.name for f in schema.fields])),
+                new.key_cols,
+                new.order_cols,
+            )
+        else:
+            cur = self.read(
+                spark,
+                buckets=touched,
+                include_deleted=True,
+                snapshot_version=new.version,
+                collapse=True,
+            ).join(keys, on=new.key_cols, how="left_semi")
 
         def _imaged(df: DataFrame, side: str) -> DataFrame:
             live = ~F.col(DELETED_COL)
@@ -705,6 +730,42 @@ class LakeTable:
             # (compaction superset, same-value upsert) are not changes
             .filter(F.col("_change_type").isNotNull())
         )
+
+    def read_point(
+        self,
+        spark: SparkSession,
+        value: Any,
+        *,
+        snapshot_version: int | None = None,
+        tag: str | None = None,
+    ) -> DataFrame:
+        """Serving-path point lookup: every live row of one bucket-key
+        value (e.g. all turns of one conversation), composing the three
+        pruning tiers in one call — bucket (derived JVM-side with the
+        table's own hash, one 1-row job), per-file bloom skip when the
+        table has `bloom_cols`, and the equality predicate on the
+        pruned read. At 10^10 events this touches one bucket's
+        bloom-surviving files, never the table."""
+        if tag is not None and snapshot_version is None:
+            snapshot_version = self.tags().get(tag)
+            if snapshot_version is None:
+                raise KeyError(f"no tag {tag!r} on table {self.path}")
+            tag = None  # resolved; avoid double resolution in read()
+        snap = self.snapshot(snapshot_version)
+        key0 = snap.key_cols[0]
+        bucket = (
+            spark.createDataFrame([(value,)], T.StructType([snap.schema()[key0]]))
+            .select(self.bucket_expr(snap.n_buckets, key0).alias("b"))
+            .first()["b"]
+        )
+        df = self.read(
+            spark,
+            buckets=[bucket],
+            snapshot_version=snapshot_version,
+            tag=tag,
+            bloom_eq={key0: value} if snap.props.get("bloom_cols") else None,
+        )
+        return df.filter(F.col(key0) == F.lit(value))
 
     # -- observability ---------------------------------------------------
 

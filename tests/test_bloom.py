@@ -105,3 +105,23 @@ def test_bloom_probe_matches_spark_crc32_layout(spark):
     assert all(_bloom_might_contain(b64, k, m) for k in keys)
     misses = sum(_bloom_might_contain(b64, f"other_{i}", m) for i in range(500))
     assert misses <= 3  # FP ~ 50/32768 per probe
+
+
+def test_read_point_serving_path(spark, make_table):
+    """read_point composes bucket derivation + bloom skip + predicate:
+    exact rows for one conversation, scanning a small slice of files."""
+    tbl = _make_bloom_table(make_table, "bloom5")
+    _batches(spark, tbl)
+    snap = tbl.snapshot()
+    target = "conv_02_011"
+    got = tbl.read_point(spark, target)
+    assert sorted(r.turn_idx for r in got.collect()) == [0, 1, 2]
+    assert got.select("conv_id").distinct().collect()[0][0] == target
+    # scans at most the target bucket's bloom survivors
+    assert len(got.inputFiles()) < len(snap.files) // 2
+
+    # works on a table without blooms too (bucket + predicate only)
+    plain = make_table("bloom5_plain", n_buckets=2)
+    _batches(spark, plain, n_batches=2)
+    got2 = plain.read_point(spark, "conv_01_003")
+    assert got2.count() == 3

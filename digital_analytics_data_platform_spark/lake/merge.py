@@ -196,6 +196,7 @@ def merge_changes(
     strategy: str = "cow",
     max_ts=None,
     conflict_retries: int = 0,
+    extra_props: dict | None = None,
 ) -> MergeResult:
     """Apply one micro-batch of CDC events — see :func:`_merge_changes_once`
     for the full semantics. ``conflict_retries`` adds optimistic-concurrency
@@ -221,6 +222,7 @@ def merge_changes(
                 quarantine=quarantine,
                 strategy=strategy,
                 max_ts=max_ts,
+                extra_props=extra_props,
             )
         except CommitConflict:
             if attempt >= conflict_retries:
@@ -238,6 +240,7 @@ def _merge_changes_once(
     quarantine: bool = True,
     strategy: str = "cow",
     max_ts=None,
+    extra_props: dict | None = None,
 ) -> MergeResult:
     """Apply one micro-batch of CDC events (schema: key cols + payload +
     order cols + optional ``op``/``commit_lsn``) to ``table``.
@@ -263,8 +266,16 @@ def _merge_changes_once(
       deltas down. Exactly-once, tombstones, schema evolution and
       quarantine behave identically; replaying the same events is
       harmless because read-time LWW is idempotent.
+
+    ``extra_props``: caller table-prop updates that must ride the SAME
+    atomic commit as the merge (e.g. an incremental-maintenance sync
+    cursor — crash between "data applied" and "cursor advanced" would
+    otherwise double-apply). Reserved prop keys are refused.
     """
     t0 = time.monotonic()
+    for k in extra_props or {}:
+        if k in (_LEDGER_KEY, "max_commit_lsn", "delta_buckets", "tombstone_watermark_lsn"):
+            raise ValueError(f"extra_props key {k!r} is reserved")
     snap = table.snapshot()
     key_cols = snap.key_cols
     order_cols = snap.order_cols
@@ -310,6 +321,7 @@ def _merge_changes_once(
         return _merge_mor(
             spark, table, staged, snap, evolved_fields, evolved_schema, ledger,
             batch_key, write_salt, quarantine, fp_expr, commit_expr, t0, phases,
+            extra_props=extra_props,
         )
 
     staged.persist(StorageLevel.MEMORY_AND_DISK)
@@ -346,7 +358,9 @@ def _merge_changes_once(
 
     if not affected:
         staged.unpersist()
-        res = _ledger_only_commit(table, snap.version, ledger, batch_key, fingerprint, max_commit)
+        res = _ledger_only_commit(
+            table, snap.version, ledger, batch_key, fingerprint, max_commit, extra_props=extra_props
+        )
         res.events_in, res.quarantined = events_in, n_quarantined
         res.wall_s = time.monotonic() - t0
         return res
@@ -440,6 +454,7 @@ def _merge_changes_once(
             _LEDGER_KEY: ledger,
             "max_commit_lsn": max(max_commit, int(snap.props.get("max_commit_lsn", 0))),
             "delta_buckets": delta_buckets,
+            **(extra_props or {}),
         },
         lineage=lineage,
     )
@@ -464,6 +479,7 @@ def _merge_changes_once(
 def _merge_mor(
     spark, table, staged, snap, evolved_fields, evolved_schema, ledger,
     batch_key, write_salt, quarantine, fp_expr, commit_expr, t0, phases,
+    extra_props=None,
 ):
     """Append-only merge-on-read apply: collapse the batch alone, append
     winners as bucketed delta files. No read of existing data — apply
@@ -560,7 +576,9 @@ def _merge_mor(
     affected = sorted(per_bucket)
 
     if not affected:
-        res = _ledger_only_commit(table, snap.version, ledger, batch_key, fingerprint, max_commit)
+        res = _ledger_only_commit(
+            table, snap.version, ledger, batch_key, fingerprint, max_commit, extra_props=extra_props
+        )
         res.events_in, res.quarantined = events_in, n_quarantined
         res.strategy = "mor"
         res.wall_s = time.monotonic() - t0
@@ -589,6 +607,7 @@ def _merge_mor(
             _LEDGER_KEY: _trim_ledger(ledger, batch_key, fingerprint, max_commit),
             "max_commit_lsn": max(max_commit, int(snap.props.get("max_commit_lsn", 0))),
             "delta_buckets": delta_buckets,
+            **(extra_props or {}),
         },
         lineage=lineage,
     )
@@ -844,13 +863,22 @@ def _trim_ledger(ledger: dict, batch_key: str | None, fingerprint: int, max_comm
 
 
 def _ledger_only_commit(
-    table: LakeTable, expected_version: int, ledger: dict, batch_key: str | None, fp: int, max_commit: int
+    table: LakeTable,
+    expected_version: int,
+    ledger: dict,
+    batch_key: str | None,
+    fp: int,
+    max_commit: int,
+    extra_props: dict | None = None,
 ) -> MergeResult:
     snap = table.commit(
         new_files=[],
         replaced_buckets=(),
         expected_version=expected_version,
-        props_update={_LEDGER_KEY: _trim_ledger(ledger, batch_key, fp, max_commit)},
+        props_update={
+            _LEDGER_KEY: _trim_ledger(ledger, batch_key, fp, max_commit),
+            **(extra_props or {}),
+        },
     )
     return MergeResult(version=snap.version)
 

@@ -1,0 +1,153 @@
+"""Incremental view maintenance: a SUM/COUNT rollup synced from the
+source's image changelog must equal a full recompute after every sync,
+under inserts, LWW updates, deletes, late/out-of-order events,
+compaction in the window, and crash-replayed syncs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from digital_analytics_data_platform_spark.lake import compact, merge_changes
+from digital_analytics_data_platform_spark.plans.ivm import IncrementalRollup
+from tests.conftest import cdc_rows
+
+
+def _recompute(spark, src):
+    """Ground truth: full batch aggregation of the source's live rows."""
+    return {
+        (r.role,): (r.cnt, r.sum_turn_idx)
+        for r in src.read(spark)
+        .groupBy("role")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("turn_idx").cast("double")).alias("sum_turn_idx"),
+        )
+        .collect()
+    }
+
+
+def _mart(spark, roll):
+    return {
+        (r.role,): (r.cnt, round(r.sum_turn_idx, 6))
+        for r in roll.read(spark).collect()
+    }
+
+
+@pytest.fixture()
+def src_and_rollup(spark, make_table, tmp_path):
+    src = make_table("ivm_src", n_buckets=4)
+    roll = IncrementalRollup.create(
+        str(tmp_path / "ivm_mart"), src, ["role"], ["turn_idx"], n_buckets=4
+    )
+    return src, roll
+
+
+def test_ivm_tracks_recompute_through_churn(spark, src_and_rollup):
+    src, roll = src_and_rollup
+
+    # batch 1: plain inserts across three roles
+    merge_changes(
+        spark,
+        src,
+        cdc_rows(
+            spark,
+            [("U", f"c{i}", t, ["user", "assistant", "tool"][i % 3], f"m{i}/{t}", None, i, i * 10 + t)
+             for i in range(12) for t in range(3)],
+        ),
+        batch_key="b1",
+        strategy="mor",
+    )
+    r = roll.sync(spark, src)
+    assert not r["skipped"]
+    assert _mart(spark, roll) == _recompute(spark, src)
+
+    # batch 2: LWW updates that MOVE rows between groups (role changes:
+    # the retraction case a lookback recompute gets for free and naive
+    # upsert marts get wrong) + deletes + a brand-new conversation
+    merge_changes(
+        spark,
+        src,
+        cdc_rows(
+            spark,
+            [
+                ("U", "c0", 0, "assistant", "rewritten", None, 1000, 9001),  # user → assistant
+                ("U", "c1", 1, "tool", "rewritten", "search", 1000, 9002),  # assistant → tool
+                ("D", "c2", 2, None, None, None, 1000, 9003),  # delete one tool row
+                ("U", "c99", 0, "user", "new conv", None, 1000, 9004),
+            ],
+        ),
+        batch_key="b2",
+        strategy="mor",
+    )
+    roll.sync(spark, src)
+    assert _mart(spark, roll) == _recompute(spark, src)
+
+    # batch 3: late event LOSES LWW (no state change) + compaction in
+    # the window — the exact changelog must contribute nothing for them
+    merge_changes(
+        spark,
+        src,
+        cdc_rows(spark, [("U", "c0", 0, "user", "stale", None, 5, 1)]),  # loses to lsn 9001
+        batch_key="b3",
+        strategy="mor",
+    )
+    compact(spark, src, all_buckets=True)
+    r3 = roll.sync(spark, src)
+    assert _mart(spark, roll) == _recompute(spark, src)
+    assert r3.get("groups", 0) == 0  # nothing actually changed
+
+    # a whole group disappearing must tombstone its mart row
+    live_c99 = [("D", "c99", 0, None, None, None, 2000, 9100)]
+    merge_changes(spark, src, cdc_rows(spark, live_c99), batch_key="b4", strategy="mor")
+    roll.sync(spark, src)
+    truth = _recompute(spark, src)
+    got = _mart(spark, roll)
+    assert got == truth
+    assert all(cnt > 0 for cnt, _ in got.values())
+
+
+def test_ivm_sync_is_idempotent_and_cursor_atomic(spark, src_and_rollup):
+    src, roll = src_and_rollup
+    merge_changes(
+        spark,
+        src,
+        cdc_rows(spark, [("U", f"c{i}", 0, "user", f"m{i}", None, i, i + 1) for i in range(10)]),
+        batch_key="b1",
+        strategy="mor",
+    )
+    r1 = roll.sync(spark, src)
+    assert roll.cursor() == r1["head"]
+    before = _mart(spark, roll)
+
+    # replaying the same window (crash-after-commit recovery) is a
+    # ledger no-op and the mart is unchanged
+    r2 = roll.sync(spark, src)
+    assert r2["skipped"] is True
+    assert _mart(spark, roll) == before
+
+    # the cursor prop rode the SAME commit as the totals: no snapshot
+    # exists where totals are applied but the cursor is stale
+    versions = roll.table.list_snapshots()
+    applied = [
+        v
+        for v in versions
+        if any(f["rows"] for f in roll.table.snapshot(v).files)
+    ]
+    for v in applied:
+        assert int(roll.table.snapshot(v).props.get("ivm_src_version", 0)) > 0
+
+
+def test_ivm_empty_window_advances_cursor(spark, src_and_rollup):
+    src, roll = src_and_rollup
+    merge_changes(
+        spark,
+        src,
+        cdc_rows(spark, [("U", "c1", 0, "user", "hi", None, 0, 1)]),
+        batch_key="b1",
+        strategy="mor",
+    )
+    roll.sync(spark, src)
+    # compaction-only window: exact changelog is empty, cursor still moves
+    compact(spark, src, all_buckets=True)
+    r = roll.sync(spark, src)
+    assert not r["skipped"] and r["groups"] == 0
+    assert roll.cursor() == src.snapshot().version

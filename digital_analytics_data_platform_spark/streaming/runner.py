@@ -65,6 +65,8 @@ def apply_stream(
     compact_cluster_by: list[str] | None = None,
     history_path: str | None = None,
     conflict_retries: int = 3,
+    rollups: list | None = None,
+    rollup_sync_every: int = 1,
 ):
     """Run the CDC apply as a streaming query. Returns
     ``(query, StreamMetrics)`` — metrics are populated only after the
@@ -88,7 +90,15 @@ def apply_stream(
     ``conflict_retries``: optimistic-concurrency budget passed through to
     :func:`merge_changes` / :func:`compact` — a concurrent writer on the
     same table (scheduled compactor, reconcile backfill, second pipeline)
-    costs a re-run of the losing micro-batch, never a crashed query."""
+    costs a re-run of the losing micro-batch, never a crashed query.
+
+    ``rollups``: optional :class:`~..plans.ivm.IncrementalRollup` list
+    synced every ``rollup_sync_every`` applied batches — downstream
+    grouped marts stay exactly equal to a recompute (retract-stream
+    semantics over the image changelog) in the same streaming pass, at
+    O(changed groups) per sync. Each rollup's cursor rides its own
+    atomic mart commit, so a crash between the apply and a sync just
+    means the next sync covers a wider window — never drift."""
     table = LakeTable.load(table_path)
     scd2 = None
     if history_path is not None:
@@ -147,6 +157,9 @@ def apply_stream(
                 cluster_by=compact_cluster_by,
                 conflict_retries=conflict_retries,
             )
+        if rollups and not res.skipped and metrics.batches % max(rollup_sync_every, 1) == 0:
+            for roll in rollups:
+                roll.sync(spark, table)
         rec = {"pipeline_id": pipeline_id, "batch_id": batch_id, **asdict(res)}
         with open(os.path.join(metrics_path, f"{pipeline_id}_batch_{batch_id:09d}.json"), "w") as f:
             json.dump(rec, f)

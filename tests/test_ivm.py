@@ -151,3 +151,45 @@ def test_ivm_empty_window_advances_cursor(spark, src_and_rollup):
     r = roll.sync(spark, src)
     assert not r["skipped"] and r["groups"] == 0
     assert roll.cursor() == src.snapshot().version
+
+
+def test_ivm_synced_inside_streaming_apply(spark, make_table, tmp_path):
+    """`apply_stream(rollups=[…])` maintains the mart in the same
+    streaming pass as the CDC apply; after availableNow replay the mart
+    equals a full recompute, and a checkpoint-resumed restart with new
+    segments keeps it exact."""
+    from digital_analytics_data_platform_spark import datagen
+    from digital_analytics_data_platform_spark.streaming import (
+        apply_stream,
+        cdc_file_stream,
+        write_log_segments,
+    )
+
+    n = 4_000
+    full_log = datagen.change_log(spark, n * 2, n_convs=60, turns_per_conv=8)
+    log_dir = str(tmp_path / "cdclog")
+    write_log_segments(full_log.filter(F.col("lsn") < n), log_dir, n_segments=4)
+
+    tbl = make_table("ivm_stream_src")
+    roll = IncrementalRollup.create(
+        str(tmp_path / "mart"), tbl, ["role"], ["turn_idx"], n_buckets=4
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    src = cdc_file_stream(spark, log_dir, max_files_per_trigger=1)
+    _, m1 = apply_stream(
+        spark, src, tbl.path, ckpt, pipeline_id="bronze", strategy="mor",
+        rollups=[roll], rollup_sync_every=2,
+    )
+    assert m1.batches >= 4
+    roll.sync(spark, tbl)  # drain any tail window past the last cadence tick
+    assert _mart(spark, roll) == _recompute(spark, tbl)
+
+    # new segments + checkpoint resume: mart stays exact
+    write_log_segments(full_log.filter(F.col("lsn") >= n), log_dir, n_segments=2)
+    src2 = cdc_file_stream(spark, log_dir, max_files_per_trigger=1)
+    apply_stream(
+        spark, src2, tbl.path, ckpt, pipeline_id="bronze", strategy="mor",
+        rollups=[roll], rollup_sync_every=1,
+    )
+    assert _mart(spark, roll) == _recompute(spark, tbl)

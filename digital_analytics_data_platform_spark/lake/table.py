@@ -660,22 +660,31 @@ class LakeTable:
         # Old-snapshot state of the touched keys. Bucket ids are only
         # comparable across snapshots under the same bucket spec; after
         # a rescale_buckets the old manifest is read unpruned (the key
-        # semi-join still bounds the join work).
+        # semi-join still bounds the join work). The key restriction is
+        # applied BEFORE the LWW collapse — collapse is per-key
+        # independent, so filter∘collapse ≡ collapse∘filter, and doing
+        # it first keeps the collapse shuffle O(changed-key rows)
+        # instead of O(touched-bucket rows): the only table-sized step
+        # left is the columnar scan itself.
         prev = self.read(
             spark,
             buckets=touched if old.n_buckets == new.n_buckets else None,
             include_deleted=True,
             snapshot_version=old.version,
-            collapse=True,
+            collapse=False,
         )
         # Align the old read to the new row schema: mid-stream-added
         # columns surface as null, widened columns cast up.
-        prev = prev.select(
-            *[
-                (F.col(f.name) if f.name in prev.columns else F.lit(None)).cast(f.dataType).alias(f.name)
-                for f in schema.fields
-            ]
-        ).join(keys, on=new.key_cols, how="left_semi")
+        prev = lww_collapse(
+            prev.select(
+                *[
+                    (F.col(f.name) if f.name in prev.columns else F.lit(None)).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ]
+            ).join(keys, on=new.key_cols, how="left_semi"),
+            new.key_cols,
+            new.order_cols,
+        )
         # After-images. Pure-append windows (every old file still live —
         # the sustained MOR apply shape): LWW over the before rows ∪ the
         # window's added rows, saving the second touched-bucket read of
@@ -692,13 +701,17 @@ class LakeTable:
                 new.order_cols,
             )
         else:
-            cur = self.read(
-                spark,
-                buckets=touched,
-                include_deleted=True,
-                snapshot_version=new.version,
-                collapse=True,
-            ).join(keys, on=new.key_cols, how="left_semi")
+            cur = lww_collapse(
+                self.read(
+                    spark,
+                    buckets=touched,
+                    include_deleted=True,
+                    snapshot_version=new.version,
+                    collapse=False,
+                ).join(keys, on=new.key_cols, how="left_semi"),
+                new.key_cols,
+                new.order_cols,
+            )
 
         def _imaged(df: DataFrame, side: str) -> DataFrame:
             live = ~F.col(DELETED_COL)

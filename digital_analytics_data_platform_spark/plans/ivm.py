@@ -91,10 +91,19 @@ class IncrementalRollup:
     def cursor(self) -> int:
         return int(self.table.snapshot().props.get(_CURSOR_PROP, 0))
 
-    def sync(self, spark: SparkSession, source: LakeTable) -> dict[str, Any]:
+    def sync(
+        self, spark: SparkSession, source: LakeTable, *, strategy: str = "mor"
+    ) -> dict[str, Any]:
         """Advance the mart to the source's current snapshot. Exact for
         any interleaving of inserts/updates/deletes/compactions in the
-        window; idempotent under replay (ledger + atomic cursor)."""
+        window; idempotent under replay (ledger + atomic cursor).
+
+        The mart MERGE defaults to MOR so each sync WRITES O(changed
+        groups) — a COW mart merge would rewrite every touched bucket,
+        re-coupling sync cost to mart size once deltas spread across
+        buckets. The read side LWW-collapses appended versions; run
+        ``lake.merge.compact(spark, rollup.table)`` on the same cadence
+        as the source table's compaction to fold them."""
         since = self.cursor()
         head = source.snapshot().version
         if head <= since:
@@ -147,6 +156,7 @@ class IncrementalRollup:
                 self.table,
                 spark.createDataFrame([], self._batch_schema(snap)),
                 batch_key=f"ivm:{since}->{head}",
+                strategy=strategy,
                 extra_props={_CURSOR_PROP: head},
             )
             return {"skipped": False, "since": since, "head": head, "groups": 0, "merge": res}
@@ -175,13 +185,17 @@ class IncrementalRollup:
             self.table,
             batch,
             batch_key=f"ivm:{since}->{head}",
+            strategy=strategy,
             extra_props={_CURSOR_PROP: head},
         )
         return {
             "skipped": bool(res.skipped),
             "since": since,
             "head": head,
-            "groups": res.keys_written,
+            # changed groups = logical delta; keys_written additionally
+            # counts co-bucketed rewrites under COW (write amplification)
+            "groups": res.inserts + res.updates + res.deletes + res.upserts,
+            "keys_written": res.keys_written,
             "merge": res,
         }
 

@@ -157,6 +157,11 @@ def apply_stream(
                 cluster_by=compact_cluster_by,
                 conflict_retries=conflict_retries,
             )
+            # fold the rollup marts' MOR versions on the same cadence —
+            # sync() appends O(changed groups) per batch, so without
+            # this a long tail re-couples mart READ cost to churn
+            for roll in rollups or []:
+                compact(spark, roll.table, write_salt=write_salt, conflict_retries=conflict_retries)
         if rollups and not res.skipped and metrics.batches % max(rollup_sync_every, 1) == 0:
             for roll in rollups:
                 roll.sync(spark, table)

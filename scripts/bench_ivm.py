@@ -1,0 +1,177 @@
+"""Measure incremental view maintenance's O(changed-groups) claim.
+
+A per-conversation rollup mart (group by conv_id: turn count + sums) is
+kept exact by `IncrementalRollup.sync` after every applied batch. The
+workload is the realistic CDC shape: a large seed load over SEED_CONVS
+conversations, then small incremental batches that each touch a
+CONSTANT window of conversations (half updates to existing seed convs,
+half brand-new convs) while the source table keeps growing. If sync
+cost scaled with SOURCE or MART size rather than delta size, later
+ticks would be slowest; the artifact records per-tick sync wall vs a
+full-recompute wall (scan source + re-aggregate — the lower bound of
+any lookback/recompute mart refresh, which is how the reference
+maintains its gold rollups, e.g. the 120-day weekly MERGE). Every tick
+also hash-verifies mart == recompute, so the speed claim is never
+decoupled from exactness.
+
+Env knobs: IVM_SEED_EVENTS (default 16_000_000), IVM_BATCH_EVENTS
+(400_000), IVM_BATCHES (8), IVM_CPUS (8), IVM_BUCKETS (16),
+IVM_SEED_CONVS (100_000), IVM_WINDOW_CONVS (2_000).
+Artifact: bench_runs/IVM_r04.json.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from digital_analytics_data_platform_spark import datagen
+from digital_analytics_data_platform_spark.lake import LakeTable, merge_changes
+from digital_analytics_data_platform_spark.plans.ivm import IncrementalRollup
+from digital_analytics_data_platform_spark.session import get_spark
+
+
+def _digest(df, cols):
+    """Order-insensitive content digest: xor of per-row xxhash64."""
+    row_h = F.xxhash64(*[F.col(c).cast("string") for c in cols])
+    r = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(row_h).alias("h"),
+    ).collect()[0]
+    return (int(r["n"]), int(r["h"] or 0))
+
+
+def main() -> dict:
+    seed_events = int(os.environ.get("IVM_SEED_EVENTS", "16000000"))
+    batch_events = int(os.environ.get("IVM_BATCH_EVENTS", "400000"))
+    batches = int(os.environ.get("IVM_BATCHES", "8"))
+    cpus = int(os.environ.get("IVM_CPUS", "8"))
+    buckets = int(os.environ.get("IVM_BUCKETS", "16"))
+    seed_convs = int(os.environ.get("IVM_SEED_CONVS", "100000"))
+    window_convs = int(os.environ.get("IVM_WINDOW_CONVS", "2000"))
+    spark = get_spark("bench-ivm", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    total = seed_events + batches * batch_events
+    d = tempfile.mkdtemp(prefix="ivmlake_")
+
+    def gen(lo: int, hi: int, n_convs: int) -> "F.DataFrame":
+        return datagen.change_log(
+            spark,
+            total,
+            n_convs=n_convs,
+            turns_per_conv=20,
+            garbage_frac=0.0,
+            hot_key_frac=0.02,
+            id_range=(lo, hi),
+        ).drop("op", "commit_lsn")
+
+    # Tick 0: seed load across the full conv namespace.
+    seed = gen(0, seed_events, seed_convs)
+    tbl = LakeTable.create(
+        os.path.join(d, "bronze"), seed.schema, ["conv_id", "turn_idx"], ["ts", "lsn"],
+        n_buckets=buckets,
+    )
+    roll = IncrementalRollup.create(
+        os.path.join(d, "mart"), tbl, ["conv_id"], ["turn_idx"], n_buckets=buckets
+    )
+
+    ticks = []
+
+    def tick(label, batch):
+        t0 = time.monotonic()
+        merge_changes(spark, tbl, batch, batch_key=f"b{label}", strategy="mor")
+        apply_wall = time.monotonic() - t0
+
+        t0 = time.monotonic()
+        r = roll.sync(spark, tbl)
+        sync_wall = time.monotonic() - t0
+
+        # The recompute a lookback-free refresh would have to do: full
+        # source scan + LWW collapse + hash agg, reduced to the same
+        # digest shape so both sides pay the materialization.
+        t0 = time.monotonic()
+        recomp = (
+            tbl.read(spark)
+            .groupBy("conv_id")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("turn_idx").cast("double")).alias("sum_turn_idx"),
+            )
+        )
+        dig_recomp = _digest(recomp, ["conv_id", "cnt", "sum_turn_idx"])
+        recompute_wall = time.monotonic() - t0
+
+        dig_mart = _digest(roll.read(spark), ["conv_id", "cnt", "sum_turn_idx"])
+        assert dig_mart == dig_recomp, f"tick {label}: mart {dig_mart} != recompute {dig_recomp}"
+
+        ticks.append(
+            {
+                "tick": label,
+                "source_rows_live": tbl.total_rows(),
+                "mart_groups": dig_mart[0],
+                "changed_groups": int(r.get("groups") or 0),
+                "apply_wall_s": round(apply_wall, 2),
+                "ivm_sync_wall_s": round(sync_wall, 2),
+                "full_recompute_wall_s": round(recompute_wall, 2),
+                "mart_equals_recompute": True,
+            }
+        )
+        print(json.dumps(ticks[-1]), file=sys.stderr)
+
+    tick("seed", seed)
+
+    # Incremental ticks: each batch touches a CONSTANT window of convs —
+    # even conv numbers are remapped onto existing seed convs (updates),
+    # odd conv numbers become brand-new convs unique to this tick. The
+    # changed-group count stays ~window_convs while the source grows.
+    num = F.substring("conv_id", 6, 8).cast("int")
+    for b in range(batches):
+        lo = seed_events + b * batch_events
+        raw = gen(lo, lo + batch_events, window_convs)
+        new_num = F.when(
+            num % 2 == 0, F.pmod(num * 7919, F.lit(seed_convs))
+        ).otherwise(F.lit(seed_convs) + F.lit(b * window_convs) + num)
+        batch = raw.withColumn(
+            "conv_id", F.concat(F.lit("conv_"), F.lpad(new_num.cast("string"), 8, "0"))
+        )
+        tick(b, batch)
+
+    inc = ticks[1:]
+    half = len(inc) // 2
+    mean = lambda xs: sum(xs) / max(1, len(xs))  # noqa: E731
+    out = {
+        "metric": "IVM sync wall vs source growth (O(changed-groups) check), exactness verified per tick",
+        "seed_events": seed_events,
+        "batch_events": batch_events,
+        "batches": batches,
+        "cpus": cpus,
+        "buckets": buckets,
+        "seed_convs": seed_convs,
+        "window_convs": window_convs,
+        "ticks": ticks,
+        "sync_wall_first_half_s": round(mean([t["ivm_sync_wall_s"] for t in inc[:half]]), 2),
+        "sync_wall_second_half_s": round(mean([t["ivm_sync_wall_s"] for t in inc[half:]]), 2),
+        "recompute_wall_first_half_s": round(
+            mean([t["full_recompute_wall_s"] for t in inc[:half]]), 2
+        ),
+        "recompute_wall_second_half_s": round(
+            mean([t["full_recompute_wall_s"] for t in inc[half:]]), 2
+        ),
+        "sync_speedup_vs_recompute_last_tick": round(
+            inc[-1]["full_recompute_wall_s"] / max(1e-9, inc[-1]["ivm_sync_wall_s"]), 2
+        )
+        if inc
+        else None,
+        "all_ticks_exact": all(t["mart_equals_recompute"] for t in ticks),
+    }
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -134,7 +134,12 @@ class IncrementalRollup:
         nonzero = F.col("d_cnt") != 0
         for c in self.sum_cols:
             nonzero = nonzero | (F.abs(F.col(f"d_sum_{c}")) > 0)
-        deltas = deltas.filter(nonzero)
+        # Persist: deltas is O(changed groups) small, but its lineage
+        # embeds the changelog read (a touched-bucket source scan).
+        # Without this, the touched-bucket collect, the merge's stats
+        # job and the merge's write job would EACH re-run that scan —
+        # turning one O(touched+delta) read into three.
+        deltas = deltas.filter(nonzero).persist()
 
         # current totals for ONLY the touched groups: bucket-pruned mart
         # read + the join itself restricts to delta groups
@@ -151,6 +156,7 @@ class IncrementalRollup:
         ]
         if not touched:
             # nothing to apply — still advance the cursor atomically
+            deltas.unpersist()
             res = merge_changes(
                 spark,
                 self.table,
@@ -188,6 +194,7 @@ class IncrementalRollup:
             strategy=strategy,
             extra_props={_CURSOR_PROP: head},
         )
+        deltas.unpersist()
         return {
             "skipped": bool(res.skipped),
             "since": since,

@@ -538,6 +538,7 @@ class LakeTable:
         *,
         since_version: int,
         until_version: int | None = None,
+        broadcast_keys_max_rows: int = 2_000_000,
     ) -> DataFrame:
         """Changelog between two snapshots: the latest state of every key
         touched by commits after ``since_version`` (up to
@@ -578,14 +579,23 @@ class LakeTable:
             *[os.path.join(self.path, f["path"]) for f in added]
         )
         keys = df_added.select(*new.key_cols).distinct()
+        if sum(int(f.get("rows") or 0) for f in added) <= broadcast_keys_max_rows:
+            keys = F.broadcast(keys)  # see read_changelog for the rationale
+        # key-restrict BEFORE the LWW collapse (filter∘collapse ≡
+        # collapse∘filter per key) so the collapse shuffle is
+        # O(changed-key rows), not O(touched-bucket rows)
         current = self.read(
             spark,
             buckets=touched,
             include_deleted=True,
             snapshot_version=new.version,
-            collapse=True,
+            collapse=False,
         )
-        changed = current.join(keys, on=new.key_cols, how="left_semi")
+        changed = lww_collapse(
+            current.join(keys, on=new.key_cols, how="left_semi"),
+            new.key_cols,
+            new.order_cols,
+        )
         return changed.select(
             *[c for c in changed.columns if c != DELETED_COL],
             F.when(F.col(DELETED_COL), F.lit("delete")).otherwise(F.lit("upsert")).alias("_change_type"),
@@ -597,6 +607,7 @@ class LakeTable:
         *,
         since_version: int,
         until_version: int | None = None,
+        broadcast_keys_max_rows: int = 2_000_000,
     ) -> DataFrame:
         """Changelog with **before/after row images** — the Delta CDF
         ``update_preimage``/``update_postimage`` analog (Iceberg
@@ -656,6 +667,15 @@ class LakeTable:
             *[os.path.join(self.path, f["path"]) for f in added]
         )
         keys = df_added.select(*new.key_cols).distinct()
+        # The changed-key semi-joins below must not sort-merge: that
+        # shuffles the TABLE side (full row payloads, text included),
+        # re-coupling changelog cost to table size. The manifest's row
+        # counts bound the distinct-key count for free, so broadcast the
+        # key set whenever the window is below the threshold; oversized
+        # windows (initial loads, table-sized reconciles) fall back to
+        # the shuffle join, which such a delta amortizes anyway.
+        if sum(int(f.get("rows") or 0) for f in added) <= broadcast_keys_max_rows:
+            keys = F.broadcast(keys)
 
         # Old-snapshot state of the touched keys. Bucket ids are only
         # comparable across snapshots under the same bucket spec; after

@@ -24,10 +24,14 @@ atomic commit as the mart MERGE (``merge_changes(extra_props=…)``) —
 a crash between "totals applied" and "cursor advanced" cannot happen,
 and a replayed window is ledger-skipped.
 
-Only commutative, invertible aggregates are maintainable this way
-(COUNT, SUM, and anything derivable from them — AVG, rates). MIN/MAX
-need per-group state and are deliberately not offered; use the gold
-recompute path for those.
+Invertible aggregates (COUNT, SUM, and anything derivable — AVG,
+rates) are maintained purely from the window. MIN/MAX are not
+invertible, so they use the dirty-group split (the Materialize /
+Flink-retract compromise): inserts fold in incrementally
+(``least``/``greatest``); a group is re-aggregated from the source
+only when a retraction ties its stored extremum and no insert in the
+window re-covers it — a bucket-pruned, key-semi-joined read of just
+the dirty groups, never an O(source) rescan.
 """
 
 from __future__ import annotations
@@ -45,13 +49,23 @@ _CURSOR_PROP = "ivm_src_version"
 
 
 class IncrementalRollup:
-    """A LakeTable-backed SUM/COUNT mart keyed by ``group_cols``,
-    exactly maintained from a source table's ``read_changelog``."""
+    """A LakeTable-backed SUM/COUNT (and optionally MIN/MAX) mart keyed
+    by ``group_cols``, exactly maintained from a source table's
+    ``read_changelog``."""
 
-    def __init__(self, table: LakeTable, group_cols: list[str], sum_cols: list[str]):
+    def __init__(
+        self,
+        table: LakeTable,
+        group_cols: list[str],
+        sum_cols: list[str],
+        min_cols: list[str] | None = None,
+        max_cols: list[str] | None = None,
+    ):
         self.table = table
         self.group_cols = list(group_cols)
         self.sum_cols = list(sum_cols)
+        self.min_cols = list(min_cols or [])
+        self.max_cols = list(max_cols or [])
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -62,16 +76,22 @@ class IncrementalRollup:
         group_cols: list[str],
         sum_cols: list[str],
         *,
+        min_cols: list[str] | None = None,
+        max_cols: list[str] | None = None,
         n_buckets: int = 16,
     ) -> "IncrementalRollup":
         """Create an empty rollup mart for ``source``. Group columns are
         typed from the source schema; measures land as ``sum_<col>``
-        doubles plus a ``cnt`` long; ``_v`` (the source snapshot version
-        of the sync that produced the row) is the LWW order column."""
+        doubles plus a ``cnt`` long, and ``min_<col>``/``max_<col>``
+        keep the source column's own type; ``_v`` (the source snapshot
+        version of the sync that produced the row) is the LWW order
+        column."""
         src_schema = source.snapshot().schema()
         fields = [T.StructField(g, src_schema[g].dataType) for g in group_cols]
         fields.append(T.StructField("cnt", T.LongType()))
         fields += [T.StructField(f"sum_{c}", T.DoubleType()) for c in sum_cols]
+        fields += [T.StructField(f"min_{c}", src_schema[c].dataType) for c in min_cols or []]
+        fields += [T.StructField(f"max_{c}", src_schema[c].dataType) for c in max_cols or []]
         fields.append(T.StructField("_v", T.LongType()))
         tbl = LakeTable.create(
             path,
@@ -80,11 +100,17 @@ class IncrementalRollup:
             order_cols=["_v"],
             n_buckets=n_buckets,
         )
-        return IncrementalRollup(tbl, group_cols, sum_cols)
+        return IncrementalRollup(tbl, group_cols, sum_cols, min_cols, max_cols)
 
     @staticmethod
-    def load(path: str, group_cols: list[str], sum_cols: list[str]) -> "IncrementalRollup":
-        return IncrementalRollup(LakeTable.load(path), group_cols, sum_cols)
+    def load(
+        path: str,
+        group_cols: list[str],
+        sum_cols: list[str],
+        min_cols: list[str] | None = None,
+        max_cols: list[str] | None = None,
+    ) -> "IncrementalRollup":
+        return IncrementalRollup(LakeTable.load(path), group_cols, sum_cols, min_cols, max_cols)
 
     # -- maintenance ---------------------------------------------------------
 
@@ -110,6 +136,7 @@ class IncrementalRollup:
             return {"skipped": True, "since": since, "head": head}
 
         clog = source.read_changelog(spark, since_version=since, until_version=head)
+        mm_src = list(dict.fromkeys(self.min_cols + self.max_cols))
 
         def _side(img: str, sign: int) -> DataFrame:
             side = F.col(img)
@@ -120,20 +147,35 @@ class IncrementalRollup:
                     (F.lit(sign) * F.coalesce(side[c].cast("double"), F.lit(0.0))).alias(f"sum_{c}")
                     for c in self.sum_cols
                 ],
+                *[side[c].alias(f"_mm_{c}") for c in mm_src],
             )
 
         contrib = _side("after", 1).unionByName(_side("before", -1)).filter(
             F.col(self.group_cols[0]).isNotNull()  # null-group rows are not aggregatable keys
         )
+        ins = F.col("cnt") > 0  # inserted (after-image) vs retracted (before-image) rows
         deltas = contrib.groupBy(*self.group_cols).agg(
             F.sum("cnt").alias("d_cnt"),
             *[F.sum(f"sum_{c}").alias(f"d_sum_{c}") for c in self.sum_cols],
+            *[F.min(F.when(ins, F.col(f"_mm_{c}"))).alias(f"_ins_min_{c}") for c in self.min_cols],
+            *[F.min(F.when(~ins, F.col(f"_mm_{c}"))).alias(f"_ret_min_{c}") for c in self.min_cols],
+            *[F.max(F.when(ins, F.col(f"_mm_{c}"))).alias(f"_ins_max_{c}") for c in self.max_cols],
+            *[F.max(F.when(~ins, F.col(f"_mm_{c}"))).alias(f"_ret_max_{c}") for c in self.max_cols],
         )
         # a group whose window contributions cancel exactly (pure no-op
         # churn) needs no mart row rewrite
         nonzero = F.col("d_cnt") != 0
         for c in self.sum_cols:
             nonzero = nonzero | (F.abs(F.col(f"d_sum_{c}")) > 0)
+        # MIN/MAX skip rule: retracted values come from rows live at the
+        # old snapshot, so ret_min >= the group's old min. If the window's
+        # inserted-min equals its retracted-min, any retraction AT the old
+        # min is matched by an insert at the same value and no insert goes
+        # below it — the extremum cannot move. (Symmetrically for max.)
+        for c in self.min_cols:
+            nonzero = nonzero | ~F.col(f"_ins_min_{c}").eqNullSafe(F.col(f"_ret_min_{c}"))
+        for c in self.max_cols:
+            nonzero = nonzero | ~F.col(f"_ins_max_{c}").eqNullSafe(F.col(f"_ret_max_{c}"))
         # Persist: deltas is O(changed groups) small, but its lineage
         # embeds the changelog read (a touched-bucket source scan).
         # Without this, the touched-bucket collect, the merge's stats
@@ -171,8 +213,12 @@ class IncrementalRollup:
             *self.group_cols,
             F.col("cnt").alias("_cur_cnt"),
             *[F.col(f"sum_{c}").alias(f"_cur_sum_{c}") for c in self.sum_cols],
+            *[F.col(f"min_{c}").alias(f"_cur_min_{c}") for c in self.min_cols],
+            *[F.col(f"max_{c}").alias(f"_cur_max_{c}") for c in self.max_cols],
         )
         merged = deltas.join(cur, on=self.group_cols, how="left")
+        if self.min_cols or self.max_cols:
+            merged = self._with_extrema(spark, source, head, merged)
         new_cnt = F.coalesce(F.col("_cur_cnt"), F.lit(0)) + F.col("d_cnt")
         batch = merged.select(
             *self.group_cols,
@@ -183,6 +229,8 @@ class IncrementalRollup:
                 )
                 for c in self.sum_cols
             ],
+            *[F.col(f"_new_min_{c}").alias(f"min_{c}") for c in self.min_cols],
+            *[F.col(f"_new_max_{c}").alias(f"max_{c}") for c in self.max_cols],
             F.lit(head).cast("long").alias("_v"),
             F.when(new_cnt <= 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
         )
@@ -205,6 +253,108 @@ class IncrementalRollup:
             "keys_written": res.keys_written,
             "merge": res,
         }
+
+    def _with_extrema(
+        self, spark: SparkSession, source: LakeTable, head: int, merged: DataFrame
+    ) -> DataFrame:
+        """Resolve ``_new_min_<c>``/``_new_max_<c>`` for every delta group.
+
+        MIN/MAX are not invertible, so the split is: groups whose window
+        only ADDS candidate values stay incremental
+        (``least(cur, ins)`` / ``greatest(cur, ins)``); a group is
+        *dirty* — a retraction may have removed the last row carrying
+        its current extremum — only when some retracted value ties the
+        stored extremum AND no inserted value re-covers it. Dirty groups
+        are re-aggregated from the source snapshot the window ends at,
+        bucket-pruned when the first group column is the source's first
+        key column (the common conv-keyed case) and always key-semi-
+        joined, so the recompute is O(dirty groups' buckets), never
+        O(source)."""
+        dirty = F.lit(False)
+        for c in self.min_cols:
+            ret, ins_v, cur_v = (
+                F.col(f"_ret_min_{c}"),
+                F.col(f"_ins_min_{c}"),
+                F.col(f"_cur_min_{c}"),
+            )
+            dirty = dirty | (
+                ret.isNotNull()
+                & cur_v.isNotNull()
+                & (ret <= cur_v)
+                & ~(ins_v.isNotNull() & (ins_v <= ret))
+            )
+        for c in self.max_cols:
+            ret, ins_v, cur_v = (
+                F.col(f"_ret_max_{c}"),
+                F.col(f"_ins_max_{c}"),
+                F.col(f"_cur_max_{c}"),
+            )
+            dirty = dirty | (
+                ret.isNotNull()
+                & cur_v.isNotNull()
+                & (ret >= cur_v)
+                & ~(ins_v.isNotNull() & (ins_v >= ret))
+            )
+        # persisted: O(changed groups) small, read by the dirty-bucket
+        # collect below and again by the mart merge
+        merged = merged.withColumn("_dirty", dirty).persist()
+
+        src_snap = source.snapshot(head)
+        aligned = self.group_cols[0] == src_snap.key_cols[0]
+        if aligned:
+            dirty_buckets = [
+                r["b"]
+                for r in merged.filter(F.col("_dirty"))
+                .select(source.bucket_expr(src_snap.n_buckets, self.group_cols[0]).alias("b"))
+                .distinct()
+                .collect()
+            ]
+            has_dirty = bool(dirty_buckets)
+        else:
+            dirty_buckets = None
+            has_dirty = merged.filter(F.col("_dirty")).limit(1).count() > 0
+
+        if has_dirty:
+            rec = (
+                source.read(spark, buckets=dirty_buckets, snapshot_version=head)
+                .join(
+                    merged.filter(F.col("_dirty")).select(*self.group_cols),
+                    on=self.group_cols,
+                    how="left_semi",
+                )
+                .groupBy(*self.group_cols)
+                .agg(
+                    *[F.min(c).alias(f"_rec_min_{c}") for c in self.min_cols],
+                    *[F.max(c).alias(f"_rec_max_{c}") for c in self.max_cols],
+                )
+            )
+            merged = merged.join(rec, on=self.group_cols, how="left")
+        else:
+            mart_schema = self.table.snapshot().schema()
+            for c in self.min_cols:
+                merged = merged.withColumn(
+                    f"_rec_min_{c}", F.lit(None).cast(mart_schema[f"min_{c}"].dataType)
+                )
+            for c in self.max_cols:
+                merged = merged.withColumn(
+                    f"_rec_max_{c}", F.lit(None).cast(mart_schema[f"max_{c}"].dataType)
+                )
+
+        for c in self.min_cols:
+            merged = merged.withColumn(
+                f"_new_min_{c}",
+                F.when(F.col("_dirty"), F.col(f"_rec_min_{c}")).otherwise(
+                    F.least(F.col(f"_cur_min_{c}"), F.col(f"_ins_min_{c}"))
+                ),
+            )
+        for c in self.max_cols:
+            merged = merged.withColumn(
+                f"_new_max_{c}",
+                F.when(F.col("_dirty"), F.col(f"_rec_max_{c}")).otherwise(
+                    F.greatest(F.col(f"_cur_max_{c}"), F.col(f"_ins_max_{c}"))
+                ),
+            )
+        return merged
 
     def _batch_schema(self, snap) -> T.StructType:
         fields = [f for f in snap.schema().fields if f.name != "_deleted"]

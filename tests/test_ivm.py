@@ -105,6 +105,175 @@ def test_ivm_tracks_recompute_through_churn(spark, src_and_rollup):
     assert all(cnt > 0 for cnt, _ in got.values())
 
 
+def _recompute_mm(spark, src):
+    """Ground truth incl. extrema: full batch aggregation of live rows."""
+    return {
+        (r.role,): (r.cnt, r.min_lsn, r.max_lsn)
+        for r in src.read(spark)
+        .groupBy("role")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("lsn").alias("min_lsn"),
+            F.max("lsn").alias("max_lsn"),
+        )
+        .collect()
+    }
+
+
+def _mart_mm(spark, roll):
+    return {
+        (r.role,): (r.cnt, r.min_lsn, r.max_lsn) for r in roll.read(spark).collect()
+    }
+
+
+def test_ivm_min_max_through_churn(spark, make_table, tmp_path):
+    """MIN/MAX maintenance: incremental for inserts, dirty-group source
+    recompute when a retraction removes the stored extremum — including
+    the tie case (a duplicate of the min survives) and group-moving
+    updates."""
+    src = make_table("ivm_mm_src", n_buckets=4)
+    roll = IncrementalRollup.create(
+        str(tmp_path / "ivm_mm_mart"), src, ["role"], ["turn_idx"],
+        min_cols=["lsn"], max_cols=["lsn"], n_buckets=4,
+    )
+
+    # inserts only (clean path): user lsn ∈ {10, 20}, assistant {30, 40}
+    merge_changes(
+        spark,
+        src,
+        cdc_rows(
+            spark,
+            [
+                ("U", "c1", 0, "user", "a", None, 1, 10),
+                ("U", "c1", 1, "user", "b", None, 1, 20),
+                ("U", "c2", 0, "assistant", "c", None, 1, 30),
+                ("U", "c2", 1, "assistant", "d", None, 1, 40),
+            ],
+        ),
+        batch_key="b1",
+        strategy="mor",
+    )
+    roll.sync(spark, src)
+    assert _mart_mm(spark, roll) == _recompute_mm(spark, src)
+
+    # retract the user MIN (delete the lsn=10 row): dirty recompute must
+    # find the surviving lsn=20 row
+    merge_changes(
+        spark,
+        src,
+        cdc_rows(spark, [("D", "c1", 0, None, None, None, 50, 50)]),
+        batch_key="b2",
+        strategy="mor",
+    )
+    roll.sync(spark, src)
+    truth = _recompute_mm(spark, src)
+    assert _mart_mm(spark, roll) == truth
+    assert truth[("user",)][1] == 20  # min actually moved
+
+    # retract the assistant MAX via a group-moving LWW update
+    # (assistant→tool): assistant max must fall back to 30, tool gains
+    # the moved row at its new lsn
+    merge_changes(
+        spark,
+        src,
+        cdc_rows(spark, [("U", "c2", 1, "tool", "moved", "search", 60, 60)]),
+        batch_key="b3",
+        strategy="mor",
+    )
+    roll.sync(spark, src)
+    truth = _recompute_mm(spark, src)
+    assert _mart_mm(spark, roll) == truth
+    assert truth[("assistant",)][2] == 30
+    assert truth[("tool",)] == (1, 60, 60)
+
+    # tie case: two extra user rows at the current min lsn; retracting
+    # one marks the group dirty and the recompute must find the
+    # surviving duplicate (min stays put)
+    merge_changes(
+        spark,
+        src,
+        cdc_rows(
+            spark,
+            [
+                ("U", "c3", 0, "user", "dup-min-1", None, 70, 20),
+                ("U", "c3", 1, "user", "dup-min-2", None, 70, 20),
+            ],
+        ),
+        batch_key="b4",
+        strategy="mor",
+    )
+    roll.sync(spark, src)
+    merge_changes(
+        spark,
+        src,
+        cdc_rows(spark, [("D", "c3", 0, None, None, None, 80, 80)]),
+        batch_key="b5",
+        strategy="mor",
+    )
+    roll.sync(spark, src)
+    truth = _recompute_mm(spark, src)
+    assert _mart_mm(spark, roll) == truth
+    assert truth[("user",)][1] == 20
+
+    # whole group disappears: tombstoned, not a stale-extremum row
+    merge_changes(
+        spark,
+        src,
+        cdc_rows(spark, [("D", "c2", 1, None, None, None, 90, 90)]),
+        batch_key="b6",
+        strategy="mor",
+    )
+    roll.sync(spark, src)
+    truth = _recompute_mm(spark, src)
+    got = _mart_mm(spark, roll)
+    assert got == truth
+    assert ("tool",) not in got  # tombstoned, not a stale-extremum row
+
+
+def test_ivm_min_max_conv_keyed_prunes_source(spark, make_table, tmp_path):
+    """When the rollup is keyed by the source's first key column, the
+    dirty recompute read is bucket-pruned to the dirty groups' buckets."""
+    src = make_table("ivm_mm_conv", n_buckets=4)
+    roll = IncrementalRollup.create(
+        str(tmp_path / "ivm_mm_conv_mart"), src, ["conv_id"], ["turn_idx"],
+        max_cols=["lsn"], n_buckets=4,
+    )
+    merge_changes(
+        spark,
+        src,
+        cdc_rows(
+            spark,
+            [("U", f"c{i}", t, "user", f"m{i}/{t}", None, 1, i * 10 + t) for i in range(8) for t in range(2)],
+        ),
+        batch_key="b1",
+        strategy="mor",
+    )
+    roll.sync(spark, src)
+
+    # delete ONE conversation's max row → exactly that group is dirty
+    merge_changes(
+        spark,
+        src,
+        cdc_rows(spark, [("D", "c3", 1, None, None, None, 500, 500)]),
+        batch_key="b2",
+        strategy="mor",
+    )
+    r = roll.sync(spark, src)
+    assert r["groups"] == 1
+    got = {
+        (row.conv_id,): (row.cnt, row.max_lsn) for row in roll.read(spark).collect()
+    }
+    truth = {
+        (row.conv_id,): (row.cnt, row.max_lsn)
+        for row in src.read(spark)
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("lsn").alias("max_lsn"))
+        .collect()
+    }
+    assert got == truth
+    assert truth[("c3",)] == (1, 30)
+
+
 def test_ivm_sync_is_idempotent_and_cursor_atomic(spark, src_and_rollup):
     src, roll = src_and_rollup
     merge_changes(

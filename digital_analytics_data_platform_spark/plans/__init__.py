@@ -13,8 +13,10 @@ from .transcripts import (
 )
 from .quality import run_quality_checks
 from .pipeline import MedallionPipeline, MedallionResult
+from .ivm import IncrementalRollup
 
 __all__ = [
+    "IncrementalRollup",
     "MedallionPipeline",
     "MedallionResult",
     "build_silver",

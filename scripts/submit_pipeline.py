@@ -79,6 +79,20 @@ def build_parser() -> argparse.ArgumentParser:
                          "the upsert superset: true insert/update/delete ops, "
                          "update envelopes carry the pre-update row image, "
                          "compaction/rescale windows relay nothing")
+    ap.add_argument("--rollup-group", default=None,
+                    help="bronze-only: maintain an exact incremental rollup mart "
+                         "(IVM over the image changelog) grouped by these "
+                         "comma-separated columns, synced inside the apply loop; "
+                         "the mart lives at <lake-dir>/rollup")
+    ap.add_argument("--rollup-sum", default=None,
+                    help="comma-separated numeric columns summed in the rollup")
+    ap.add_argument("--rollup-min", default=None,
+                    help="comma-separated columns tracked as MIN in the rollup "
+                         "(dirty-group recompute on extremum retraction)")
+    ap.add_argument("--rollup-max", default=None,
+                    help="comma-separated columns tracked as MAX in the rollup")
+    ap.add_argument("--rollup-sync-every", type=int, default=1,
+                    help="sync the rollup every N applied batches")
     ap.add_argument("--local-cores", type=int, default=None,
                     help="build a local[N] session (omit under spark-submit on a cluster)")
     return ap
@@ -135,6 +149,25 @@ def main(argv: list[str] | None = None) -> dict:
                 ["ts", "lsn"],
                 n_buckets=args.n_buckets,
             )
+        rollups = []
+        if args.rollup_group:
+            from digital_analytics_data_platform_spark.plans import IncrementalRollup
+
+            split = lambda s: s.split(",") if s else []  # noqa: E731
+            mart_path = f"{args.lake_dir}/rollup"
+            if LakeTable.exists(mart_path):
+                roll = IncrementalRollup.load(
+                    mart_path, split(args.rollup_group), split(args.rollup_sum),
+                    split(args.rollup_min), split(args.rollup_max),
+                )
+            else:
+                roll = IncrementalRollup.create(
+                    mart_path, LakeTable.load(bronze_path),
+                    split(args.rollup_group), split(args.rollup_sum),
+                    min_cols=split(args.rollup_min), max_cols=split(args.rollup_max),
+                    n_buckets=args.n_buckets,
+                )
+            rollups = [roll]
         _, metrics = apply_stream(
             spark,
             source,
@@ -148,6 +181,8 @@ def main(argv: list[str] | None = None) -> dict:
             compact_cluster_by=(
                 args.compact_cluster_by.split(",") if args.compact_cluster_by else None
             ),
+            rollups=rollups,
+            rollup_sync_every=args.rollup_sync_every,
             # block in BOTH trigger modes: a processingTime tail that
             # returns would exit the process and kill the stream
             await_termination=True,
@@ -162,6 +197,11 @@ def main(argv: list[str] | None = None) -> dict:
             "wall_s": round(metrics.wall_s, 3),
             "events_per_sec": round(metrics.events_per_sec, 1),
         }
+        if rollups:
+            # drain the tail window past the last cadence tick, then
+            # report mart size as the run's rollup evidence
+            rollups[0].sync(spark, LakeTable.load(bronze_path))
+            out["rollup_groups"] = rollups[0].read(spark).count()
     else:
         from digital_analytics_data_platform_spark.plans.pipeline import MedallionPipeline
 

@@ -148,3 +148,56 @@ def test_gold_day_range_read_prunes_files(spark, tmp_path):
     got = pruned.filter(F.col("day") >= "2025-01-21").count()
     exp = tbl.read(spark).filter(F.col("day") >= "2025-01-21").count()
     assert got == exp == 30
+
+
+def test_changelog_key_semijoin_broadcasts_small_windows(spark, make_table):
+    """The changed-key semi-joins in read_changes/read_changelog must
+    broadcast the key set for normal-sized windows (the manifest's row
+    counts gate it for free): a sort-merge join would shuffle the TABLE
+    side's full row payloads, re-coupling changelog cost to table size.
+    Oversized windows must fall back to the shuffle join rather than
+    broadcast an unbounded key set."""
+    from tests.conftest import cdc_rows
+
+    from digital_analytics_data_platform_spark.lake import merge_changes
+
+    tbl = make_table("clog_bcast", n_buckets=4)
+    merge_changes(
+        spark,
+        tbl,
+        cdc_rows(
+            spark,
+            [("U", f"c{i}", t, "user", f"m{i}/{t}", None, 1, i * 10 + t)
+             for i in range(20) for t in range(3)],
+        ),
+        batch_key="b1",
+        strategy="mor",
+    )
+    v1 = tbl.snapshot().version
+    merge_changes(
+        spark,
+        tbl,
+        cdc_rows(spark, [("U", "c1", 0, "user", "upd", None, 99, 9900)]),
+        batch_key="b2",
+        strategy="mor",
+    )
+
+    for df in (
+        tbl.read_changes(spark, since_version=v1),
+        tbl.read_changelog(spark, since_version=v1),
+    ):
+        plan = _explain(df)
+        assert "BroadcastHashJoin" in plan, plan
+        # the TABLE-side key restriction must never sort-merge; the
+        # changelog's before↔after FullOuter join (two already
+        # key-restricted small sides) legitimately stays SMJ — Spark
+        # cannot broadcast full-outer joins
+        assert "SortMergeJoin LeftSemi" not in plan, plan
+
+    # window above the gate: the engine must NOT hint a broadcast of an
+    # unbounded key set (Spark may still pick one from its own size
+    # stats at this toy scale — that's its call, not the engine's)
+    small = tbl.read_changes(spark, since_version=v1)
+    big = tbl.read_changes(spark, since_version=v1, broadcast_keys_max_rows=0)
+    assert "ResolvedHint" in small._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in big._jdf.queryExecution().analyzed().toString()

@@ -58,6 +58,41 @@ def _bloom_might_contain(b64: str, value: Any, m: int) -> bool:
     return bool(bitmap[pos >> 3] >> (pos & 7) & 1)
 
 
+def _blooms_intersect(file_b64: str, keyset_b64: str) -> bool:
+    """Conservative set-intersection test between a per-file bloom and a
+    keyset bloom built with the same (m, crc32) parameters: if any key in
+    the set is in the file, all its bits are set in BOTH bitmaps, so a
+    zero AND proves the file contains none of the keys — no false
+    negatives, regardless of load factor. Bitmaps of different widths
+    (``bloom_m`` changed mid-table) are incomparable → keep the file."""
+    a, b = base64.b64decode(file_b64), base64.b64decode(keyset_b64)
+    if len(a) != len(b):
+        return True
+    return int.from_bytes(a, "little") & int.from_bytes(b, "little") != 0
+
+
+def keys_bloom(df: DataFrame, col: str, m: int = _BLOOM_M_DEFAULT) -> str | None:
+    """One bloom bitmap over every non-null value of string column
+    ``col`` — bit-compatible with the per-file blooms ``_stats_job``
+    writes (crc32 % m, k=1), so it can drive set-intersection file
+    skipping via ``LakeTable.read(bloom_and=…)``. One tiny column-pruned
+    agg job; returns None for an empty/all-null frame or a non-string
+    column (callers then skip pruning — the conservative direction).
+    Null keys contribute no bit, which is exactly right for the key
+    semi-join consumers this feeds: a null key never equi-joins, so
+    files holding only null-key rows are safe to skip."""
+    if not isinstance(df.schema[col].dataType, T.StringType):
+        return None
+    row = df.agg(
+        F.base64(
+            F.bitmap_construct_agg(
+                F.bitmap_bit_position(F.pmod(F.crc32(F.col(col).cast("binary")), F.lit(m)) + 1)
+            )
+        ).alias("bm")
+    ).first()
+    return row["bm"]
+
+
 class CommitConflict(RuntimeError):
     pass
 
@@ -240,6 +275,7 @@ class LakeTable:
         min_order: tuple | None = None,
         stats_range: dict[str, tuple] | None = None,
         bloom_eq: dict[str, Any] | None = None,
+        bloom_and: dict[str, str] | None = None,
         collapse: bool | None = None,
     ) -> DataFrame:
         """Read the table at a snapshot. ``buckets`` prunes to the given
@@ -312,6 +348,25 @@ class LakeTable:
                     for f in files
                     if f.get(f"bloom_{col}") is None
                     or _bloom_might_contain(f[f"bloom_{col}"], val, bm)
+                ]
+        if bloom_and:
+            # Set-membership file skipping: ``bloom_and`` maps column →
+            # base64 KEYSET bloom (built by :func:`keys_bloom` with the
+            # table's own bloom_m); a file survives unless its bloom
+            # provably shares no key with the set. This is the
+            # before-image / dirty-group read's pruning tier — the
+            # changed-key semi-join downstream stays the correctness
+            # filter, this only drops whole files it would zero out
+            # anyway. Bloomless files (pre-bloom commits, saturated
+            # blooms) are kept, as are width-mismatched bitmaps.
+            for col, keyset in bloom_and.items():
+                if keyset is None:
+                    continue
+                files = [
+                    f
+                    for f in files
+                    if f.get(f"bloom_{col}") is None
+                    or _blooms_intersect(f[f"bloom_{col}"], keyset)
                 ]
         schema = snap.schema()
         if not files:
@@ -579,8 +634,17 @@ class LakeTable:
             *[os.path.join(self.path, f["path"]) for f in added]
         )
         keys = df_added.select(*new.key_cols).distinct()
-        if sum(int(f.get("rows") or 0) for f in added) <= broadcast_keys_max_rows:
+        window_rows = sum(int(f.get("rows") or 0) for f in added)
+        if window_rows <= broadcast_keys_max_rows:
             keys = F.broadcast(keys)  # see read_changelog for the rationale
+        key0 = new.key_cols[0]
+        bloom_keys: dict[str, str] | None = None
+        if key0 in (new.props.get("bloom_cols") or []) and window_rows <= broadcast_keys_max_rows:
+            keyset = keys_bloom(
+                df_added.select(key0), key0, int(new.props.get("bloom_m", _BLOOM_M_DEFAULT))
+            )
+            if keyset is not None:
+                bloom_keys = {key0: keyset}  # see read_changelog
         # key-restrict BEFORE the LWW collapse (filter∘collapse ≡
         # collapse∘filter per key) so the collapse shuffle is
         # O(changed-key rows), not O(touched-bucket rows)
@@ -589,6 +653,7 @@ class LakeTable:
             buckets=touched,
             include_deleted=True,
             snapshot_version=new.version,
+            bloom_and=bloom_keys,
             collapse=False,
         )
         changed = lww_collapse(
@@ -641,7 +706,13 @@ class LakeTable:
         Exact before-images inherently price at touched-bucket data —
         the same class as Iceberg's compute-updates changelog — so run
         image ticks at coarser cadence than the plain upsert relay when
-        every batch touches every bucket.
+        every batch touches every bucket. Tables with per-file blooms on
+        the first key column (`bloom_cols`) get a further pruning tier:
+        a keyset bloom of the window's changed keys skips touched-bucket
+        files that provably hold none of them — on a MOR delta tail
+        where batches touch disjoint key sets, the before-image scan
+        stays O(files that share keys with the window) instead of
+        O(tail).
         """
         new = self.snapshot(until_version)
         old = self.snapshot(since_version)
@@ -674,8 +745,25 @@ class LakeTable:
         # key set whenever the window is below the threshold; oversized
         # windows (initial loads, table-sized reconciles) fall back to
         # the shuffle join, which such a delta amortizes anyway.
-        if sum(int(f.get("rows") or 0) for f in added) <= broadcast_keys_max_rows:
+        window_rows = sum(int(f.get("rows") or 0) for f in added)
+        if window_rows <= broadcast_keys_max_rows:
             keys = F.broadcast(keys)
+        # When the table carries per-file blooms on its first key column,
+        # a KEYSET bloom of the window's changed keys (one O(delta)
+        # column-pruned agg) prunes the before-image scan to the files
+        # that might hold those keys — the MOR delta tail from unrelated
+        # earlier batches is exactly what this skips, which is what made
+        # image-tick wall grow with the tail (`bench_runs/RELAY_r04.json`
+        # residual). Pruning is conservative: the semi-join below remains
+        # the correctness filter; bloomless files are always kept.
+        key0 = new.key_cols[0]
+        bloom_keys: dict[str, str] | None = None
+        if key0 in (new.props.get("bloom_cols") or []) and window_rows <= broadcast_keys_max_rows:
+            keyset = keys_bloom(
+                df_added.select(key0), key0, int(new.props.get("bloom_m", _BLOOM_M_DEFAULT))
+            )
+            if keyset is not None:
+                bloom_keys = {key0: keyset}
 
         # Old-snapshot state of the touched keys. Bucket ids are only
         # comparable across snapshots under the same bucket spec; after
@@ -691,6 +779,7 @@ class LakeTable:
             buckets=touched if old.n_buckets == new.n_buckets else None,
             include_deleted=True,
             snapshot_version=old.version,
+            bloom_and=bloom_keys,
             collapse=False,
         )
         # Align the old read to the new row schema: mid-stream-added
@@ -727,6 +816,7 @@ class LakeTable:
                     buckets=touched,
                     include_deleted=True,
                     snapshot_version=new.version,
+                    bloom_and=bloom_keys,
                     collapse=False,
                 ).join(keys, on=new.key_cols, how="left_semi"),
                 new.key_cols,

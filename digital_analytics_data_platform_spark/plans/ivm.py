@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..lake.merge import merge_changes
-from ..lake.table import LakeTable
+from ..lake.table import _BLOOM_M_DEFAULT, LakeTable, keys_bloom
 
 _CURSOR_PROP = "ivm_src_version"
 
@@ -315,8 +315,25 @@ class IncrementalRollup:
             has_dirty = merged.filter(F.col("_dirty")).limit(1).count() > 0
 
         if has_dirty:
+            # three pruning tiers on the dirty-group source read: bucket
+            # list (aligned keys), per-file keyset bloom when the source
+            # carries `bloom_cols` on its first key (skips MOR delta
+            # files holding none of the dirty groups' keys), and the
+            # key semi-join as the correctness filter
+            bloom_and = None
+            src_key0 = src_snap.key_cols[0]
+            if aligned and src_key0 in (src_snap.props.get("bloom_cols") or []):
+                keyset = keys_bloom(
+                    merged.filter(F.col("_dirty")).select(self.group_cols[0]),
+                    self.group_cols[0],
+                    int(src_snap.props.get("bloom_m", _BLOOM_M_DEFAULT)),
+                )
+                if keyset is not None:
+                    bloom_and = {src_key0: keyset}
             rec = (
-                source.read(spark, buckets=dirty_buckets, snapshot_version=head)
+                source.read(
+                    spark, buckets=dirty_buckets, snapshot_version=head, bloom_and=bloom_and
+                )
                 .join(
                     merged.filter(F.col("_dirty")).select(*self.group_cols),
                     on=self.group_cols,

@@ -12,6 +12,8 @@ from digital_analytics_data_platform_spark.lake import merge_changes
 from digital_analytics_data_platform_spark.lake.table import (
     _BLOOM_M_DEFAULT,
     _bloom_might_contain,
+    _blooms_intersect,
+    keys_bloom,
 )
 from tests.conftest import TRANSCRIPT_SCHEMA, cdc_rows
 
@@ -125,3 +127,85 @@ def test_read_point_serving_path(spark, make_table):
     _batches(spark, plain, n_batches=2)
     got2 = plain.read_point(spark, "conv_01_003")
     assert got2.count() == 3
+
+
+# ---------------------------------------------------------------------------
+# keyset-bloom (set-intersection) file skipping — prunes the changed-key
+# table reads inside read_changes / read_changelog / IVM dirty recompute
+
+
+def test_keys_bloom_never_misses_a_file_holding_a_key(spark, make_table):
+    """No-false-negative property of the intersection test: any file
+    whose own bloom admits a key must intersect a keyset bloom that
+    includes the key (actual containment ⇒ might_contain ⇒ intersect)."""
+    tbl = _make_bloom_table(make_table, "kb1")
+    _batches(spark, tbl)
+    snap = tbl.snapshot()
+    m = _BLOOM_M_DEFAULT
+    probe_keys = ["conv_01_007", "conv_02_003", "conv_00_000"]
+    keyset = keys_bloom(
+        spark.createDataFrame([(k,) for k in probe_keys], "conv_id string"), "conv_id"
+    )
+    assert keyset is not None
+    for f in snap.files:
+        if any(_bloom_might_contain(f["bloom_conv_id"], k, m) for k in probe_keys):
+            assert _blooms_intersect(f["bloom_conv_id"], keyset)
+    # an absent-key keyset prunes (almost) everything
+    ghost = keys_bloom(spark.createDataFrame([("conv_zz_999",)], "conv_id string"), "conv_id")
+    survivors = sum(_blooms_intersect(f["bloom_conv_id"], ghost) for f in snap.files)
+    assert survivors <= len(snap.files) // 2
+
+
+def test_blooms_intersect_width_mismatch_is_conservative():
+    import base64
+
+    a = base64.b64encode(bytes(16)).decode()
+    b = base64.b64encode(bytes(32)).decode()
+    assert _blooms_intersect(a, b)  # incomparable widths → keep the file
+    zero = base64.b64encode(bytes(16)).decode()
+    assert not _blooms_intersect(zero, zero)  # provably disjoint
+
+
+def test_keys_bloom_degenerate_inputs(spark):
+    empty = spark.createDataFrame([], "conv_id string")
+    ints = spark.createDataFrame([(1,)], "turn_idx int")
+    assert keys_bloom(ints, "turn_idx") is None  # non-string: no parity
+    kb = keys_bloom(empty, "conv_id")
+    # empty frame: either no bitmap (None) or an all-zero bitmap — both
+    # are safe for a consumer whose semi-join would drop every row anyway
+    if kb is not None:
+        import base64
+
+        assert not any(base64.b64decode(kb))
+
+
+def test_changed_key_reads_are_keyset_bloom_pruned_and_exact(spark, make_table):
+    """read_changes and read_changelog over a window touching only one
+    batch's conversations: identical output on a bloomed vs bloomless
+    table, strictly fewer files scanned on the bloomed one (the MOR
+    delta tail from unrelated batches is skipped)."""
+    blo = _make_bloom_table(make_table, "kb2")
+    ctl = make_table("kb2_ctl", n_buckets=2)
+    for t in (blo, ctl):
+        _batches(spark, t, n_batches=4)
+    since = {id(t): t.snapshot().version for t in (blo, ctl)}
+    window = [
+        ("U", f"conv_01_{i:03d}", 0, "user", f"upd{i}", None, 5000 + i, 10_000 + i)
+        for i in range(5)
+    ] + [("D", "conv_01_006", 1, None, None, None, 6000, 20_000)]
+    for t in (blo, ctl):
+        merge_changes(spark, t, cdc_rows(spark, window), batch_key="w", strategy="mor")
+
+    def rows(df):
+        cols = [F.col(c) for c in ("conv_id", "turn_idx", "_change_type")]
+        extra = [F.to_json(F.col(c)) for c in ("before", "after") if c in df.columns]
+        return sorted(map(tuple, df.select(*cols, *extra).collect()))
+
+    for reader in ("read_changes", "read_changelog"):
+        dfs = {
+            id(t): getattr(t, reader)(spark, since_version=since[id(t)]) for t in (blo, ctl)
+        }
+        assert rows(dfs[id(blo)]) == rows(dfs[id(ctl)]), reader
+        assert rows(dfs[id(blo)]), f"{reader}: window must be non-empty"
+        n_blo, n_ctl = len(dfs[id(blo)].inputFiles()), len(dfs[id(ctl)].inputFiles())
+        assert n_blo < n_ctl, f"{reader}: bloom pruned nothing ({n_blo}/{n_ctl})"

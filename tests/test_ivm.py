@@ -362,3 +362,59 @@ def test_ivm_synced_inside_streaming_apply(spark, make_table, tmp_path):
         rollups=[roll], rollup_sync_every=1,
     )
     assert _mart(spark, roll) == _recompute(spark, tbl)
+
+
+def test_ivm_min_max_dirty_recompute_on_bloomed_source(spark, make_table, tmp_path):
+    """A source table carrying per-file blooms adds the keyset-bloom
+    pruning tier to the dirty-group recompute read; the result must stay
+    exactly equal to a full recompute (pruning is conservative)."""
+    src = make_table("ivm_mm_bloom", n_buckets=4, props={"bloom_cols": ["conv_id"]})
+    roll = IncrementalRollup.create(
+        str(tmp_path / "ivm_mm_bloom_mart"), src, ["conv_id"], ["turn_idx"],
+        min_cols=["lsn"], max_cols=["lsn"], n_buckets=4,
+    )
+    # several MOR batches over disjoint convs → a delta tail the keyset
+    # bloom can skip when only one conv's group goes dirty
+    for b in range(3):
+        merge_changes(
+            spark,
+            src,
+            cdc_rows(
+                spark,
+                [
+                    ("U", f"c{b}_{i}", t, "user", f"m{b}/{i}/{t}", None, b * 100 + i, b * 1000 + i * 10 + t)
+                    for i in range(4)
+                    for t in range(2)
+                ],
+            ),
+            batch_key=f"b{b}",
+            strategy="mor",
+        )
+    roll.sync(spark, src)
+
+    # delete c1_2's max row → dirty recompute must find the survivor
+    merge_changes(
+        spark,
+        src,
+        cdc_rows(spark, [("D", "c1_2", 1, None, None, None, 900, 99_999)]),
+        batch_key="del",
+        strategy="mor",
+    )
+    r = roll.sync(spark, src)
+    assert r["groups"] == 1
+    got = {
+        row.conv_id: (row.cnt, row.min_lsn, row.max_lsn) for row in roll.read(spark).collect()
+    }
+    truth = {
+        row.conv_id: (row.cnt, row.min_lsn, row.max_lsn)
+        for row in src.read(spark)
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("lsn").alias("min_lsn"),
+            F.max("lsn").alias("max_lsn"),
+        )
+        .collect()
+    }
+    assert got == truth
+    assert truth["c1_2"] == (1, 1020, 1020)

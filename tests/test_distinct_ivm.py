@@ -1,0 +1,160 @@
+"""Exact COUNT(DISTINCT) incremental maintenance (DistinctCountRollup):
+two composed IncrementalRollups (support mart over (group, value) →
+outer mart counting live support rows) must track a full
+`groupBy(g).agg(countDistinct(v))` recompute through inserts, updates
+that move values/groups, deletes, multiplicity churn, null values, and
+replayed syncs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from digital_analytics_data_platform_spark.lake import merge_changes
+from digital_analytics_data_platform_spark.plans.ivm import DistinctCountRollup
+from tests.conftest import cdc_rows
+
+
+def _truth(spark, src, group, value):
+    return {
+        tuple(r[g] for g in group): r["d"]
+        for r in src.read(spark)
+        .groupBy(*group)
+        .agg(F.countDistinct(value).alias("d"))
+        .filter(F.col("d") > 0)
+        .collect()
+    }
+
+
+def _mart(spark, dc, group, value):
+    return {
+        tuple(r[g] for g in group): r[f"distinct_{value}"]
+        for r in dc.read(spark).collect()
+    }
+
+
+@pytest.fixture()
+def src_and_distinct(spark, make_table, tmp_path):
+    src = make_table("dcr_src", n_buckets=4)
+    dc = DistinctCountRollup.create(
+        str(tmp_path / "dcr_mart"), src, ["role"], "conv_id", n_buckets=4
+    )
+    return src, dc
+
+
+def test_distinct_count_through_churn(spark, src_and_distinct):
+    src, dc = src_and_distinct
+
+    # batch 1: 3 convs as user, 2 as assistant (multiple turns per conv
+    # → multiplicity > 1 behind each (role, conv) support pair)
+    merge_changes(
+        spark,
+        src,
+        cdc_rows(
+            spark,
+            [("U", f"c{i}", t, "user", f"u{i}/{t}", None, 1, i * 10 + t) for i in range(3) for t in range(3)]
+            + [("U", f"c{i}", t, "assistant", f"a{i}/{t}", None, 1, 100 + i * 10 + t) for i in (7, 8) for t in range(2)],
+        ),
+        batch_key="b1",
+        strategy="mor",
+    )
+    dc.sync(spark, src)
+    assert _mart(spark, dc, ["role"], "conv_id") == _truth(spark, src, ["role"], "conv_id")
+    assert _mart(spark, dc, ["role"], "conv_id") == {("user",): 3, ("assistant",): 2}
+
+    # batch 2: multiplicity-only churn (update one turn's text) — the
+    # distinct count must NOT move
+    merge_changes(
+        spark,
+        src,
+        cdc_rows(spark, [("U", "c0", 1, "user", "rewritten", None, 50, 1000)]),
+        batch_key="b2",
+        strategy="mor",
+    )
+    dc.sync(spark, src)
+    assert _mart(spark, dc, ["role"], "conv_id") == {("user",): 3, ("assistant",): 2}
+
+    # batch 3: a turn flips role user→assistant (value c2 moves groups:
+    # support (user, c2) loses one row but survives, (assistant, c2)
+    # appears → assistant gains a distinct conv)
+    merge_changes(
+        spark,
+        src,
+        cdc_rows(spark, [("U", "c2", 0, "assistant", "now assistant", None, 60, 1100)]),
+        batch_key="b3",
+        strategy="mor",
+    )
+    dc.sync(spark, src)
+    truth = _truth(spark, src, ["role"], "conv_id")
+    assert _mart(spark, dc, ["role"], "conv_id") == truth == {("user",): 3, ("assistant",): 3}
+
+    # batch 4: delete ALL of c1's user turns → user loses a distinct
+    # conv; delete every assistant turn of c7 → assistant loses one
+    merge_changes(
+        spark,
+        src,
+        cdc_rows(
+            spark,
+            [("D", "c1", t, None, None, None, 70, 1200 + t) for t in range(3)]
+            + [("D", "c7", t, None, None, None, 70, 1300 + t) for t in range(2)],
+        ),
+        batch_key="b4",
+        strategy="mor",
+    )
+    dc.sync(spark, src)
+    truth = _truth(spark, src, ["role"], "conv_id")
+    assert _mart(spark, dc, ["role"], "conv_id") == truth == {("user",): 2, ("assistant",): 2}
+
+
+def test_distinct_count_null_values_ignored(spark, make_table, tmp_path):
+    src = make_table("dcr_null_src", n_buckets=4)
+    dc = DistinctCountRollup.create(
+        str(tmp_path / "dcr_null_mart"), src, ["role"], "tool", n_buckets=4
+    )
+    merge_changes(
+        spark,
+        src,
+        cdc_rows(
+            spark,
+            [
+                ("U", "c1", 0, "assistant", "x", "python", 1, 1),
+                ("U", "c1", 1, "assistant", "y", None, 1, 2),  # null tool: no distinct contribution
+                ("U", "c1", 2, "assistant", "z", "search", 1, 3),
+                ("U", "c2", 0, "user", "q", None, 1, 4),  # group with ONLY null values → absent
+            ],
+        ),
+        batch_key="b1",
+        strategy="mor",
+    )
+    dc.sync(spark, src)
+    got = _mart(spark, dc, ["role"], "tool")
+    assert got == _truth(spark, src, ["role"], "tool") == {("assistant",): 2}
+
+    # the null-tool row later gains a tool → +1 distinct
+    merge_changes(
+        spark,
+        src,
+        cdc_rows(spark, [("U", "c1", 1, "assistant", "y", "sql", 9, 100)]),
+        batch_key="b2",
+        strategy="mor",
+    )
+    dc.sync(spark, src)
+    assert _mart(spark, dc, ["role"], "tool") == {("assistant",): 3}
+
+
+def test_distinct_count_sync_idempotent_and_loadable(spark, src_and_distinct, tmp_path):
+    src, dc = src_and_distinct
+    merge_changes(
+        spark,
+        src,
+        cdc_rows(spark, [("U", f"c{i}", 0, "user", "m", None, 1, i) for i in range(5)]),
+        batch_key="b1",
+        strategy="mor",
+    )
+    dc.sync(spark, src)
+    before = _mart(spark, dc, ["role"], "conv_id")
+    r = dc.sync(spark, src)  # no new source commits → both levels skip
+    assert r["skipped"] is True
+    assert _mart(spark, dc, ["role"], "conv_id") == before == {("user",): 5}
+
+    reloaded = DistinctCountRollup.load(str(tmp_path / "dcr_mart"), ["role"], "conv_id")
+    assert _mart(spark, reloaded, ["role"], "conv_id") == before
+    assert reloaded.support.cursor() == src.snapshot().version

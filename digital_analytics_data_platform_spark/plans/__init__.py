@@ -13,9 +13,10 @@ from .transcripts import (
 )
 from .quality import run_quality_checks
 from .pipeline import MedallionPipeline, MedallionResult
-from .ivm import IncrementalRollup
+from .ivm import DistinctCountRollup, IncrementalRollup
 
 __all__ = [
+    "DistinctCountRollup",
     "IncrementalRollup",
     "MedallionPipeline",
     "MedallionResult",

@@ -126,6 +126,12 @@ class IncrementalRollup:
 
     # -- maintenance ---------------------------------------------------------
 
+    @property
+    def tables(self) -> list[LakeTable]:
+        """Every LakeTable this rollup writes (maintenance surface: the
+        streaming runner compacts these on its periodic cadence)."""
+        return [self.table]
+
     def cursor(self) -> int:
         return int(self.table.snapshot().props.get(_CURSOR_PROP, 0))
 
@@ -479,6 +485,11 @@ class DistinctCountRollup:
         )
         outer = IncrementalRollup.load(f"{path}/distinct", list(group_cols), sum_cols=[])
         return DistinctCountRollup(support, outer, value_col)
+
+    @property
+    def tables(self) -> list[LakeTable]:
+        """Both levels' marts — see :attr:`IncrementalRollup.tables`."""
+        return [self.support.table, self.outer.table]
 
     def sync(self, spark: SparkSession, source: LakeTable, *, strategy: str = "mor") -> dict[str, Any]:
         r_support = self.support.sync(spark, source, strategy=strategy)

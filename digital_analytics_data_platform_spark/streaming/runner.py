@@ -92,7 +92,9 @@ def apply_stream(
     same table (scheduled compactor, reconcile backfill, second pipeline)
     costs a re-run of the losing micro-batch, never a crashed query.
 
-    ``rollups``: optional :class:`~..plans.ivm.IncrementalRollup` list
+    ``rollups``: optional list of :class:`~..plans.ivm.IncrementalRollup`
+    / :class:`~..plans.ivm.DistinctCountRollup` (anything with
+    ``sync(spark, table)`` + ``tables``)
     synced every ``rollup_sync_every`` applied batches — downstream
     grouped marts stay exactly equal to a recompute (retract-stream
     semantics over the image changelog) in the same streaming pass, at
@@ -161,7 +163,8 @@ def apply_stream(
             # sync() appends O(changed groups) per batch, so without
             # this a long tail re-couples mart READ cost to churn
             for roll in rollups or []:
-                compact(spark, roll.table, write_salt=write_salt, conflict_retries=conflict_retries)
+                for mart in roll.tables:
+                    compact(spark, mart, write_salt=write_salt, conflict_retries=conflict_retries)
         if rollups and not res.skipped and metrics.batches % max(rollup_sync_every, 1) == 0:
             for roll in rollups:
                 roll.sync(spark, table)

@@ -91,6 +91,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "(dirty-group recompute on extremum retraction)")
     ap.add_argument("--rollup-max", default=None,
                     help="comma-separated columns tracked as MAX in the rollup")
+    ap.add_argument("--rollup-distinct", default=None,
+                    help="bronze-only, with --rollup-group: additionally maintain an "
+                         "exact COUNT(DISTINCT <col>) mart per rollup group "
+                         "(two-level IVM; lives at <lake-dir>/rollup_distinct)")
     ap.add_argument("--rollup-sync-every", type=int, default=1,
                     help="sync the rollup every N applied batches")
     ap.add_argument("--local-cores", type=int, default=None,
@@ -168,6 +172,21 @@ def main(argv: list[str] | None = None) -> dict:
                     n_buckets=args.n_buckets,
                 )
             rollups = [roll]
+            if args.rollup_distinct:
+                from digital_analytics_data_platform_spark.plans import DistinctCountRollup
+
+                dc_path = f"{args.lake_dir}/rollup_distinct"
+                if LakeTable.exists(f"{dc_path}/support"):
+                    dc = DistinctCountRollup.load(
+                        dc_path, split(args.rollup_group), args.rollup_distinct
+                    )
+                else:
+                    dc = DistinctCountRollup.create(
+                        dc_path, LakeTable.load(bronze_path),
+                        split(args.rollup_group), args.rollup_distinct,
+                        n_buckets=args.n_buckets,
+                    )
+                rollups.append(dc)
         _, metrics = apply_stream(
             spark,
             source,
@@ -200,8 +219,12 @@ def main(argv: list[str] | None = None) -> dict:
         if rollups:
             # drain the tail window past the last cadence tick, then
             # report mart size as the run's rollup evidence
-            rollups[0].sync(spark, LakeTable.load(bronze_path))
+            bronze = LakeTable.load(bronze_path)
+            for roll in rollups:
+                roll.sync(spark, bronze)
             out["rollup_groups"] = rollups[0].read(spark).count()
+            if args.rollup_distinct:
+                out["rollup_distinct_groups"] = rollups[-1].read(spark).count()
     else:
         from digital_analytics_data_platform_spark.plans.pipeline import MedallionPipeline
 

@@ -158,3 +158,32 @@ def test_distinct_count_sync_idempotent_and_loadable(spark, src_and_distinct, tm
     reloaded = DistinctCountRollup.load(str(tmp_path / "dcr_mart"), ["role"], "conv_id")
     assert _mart(spark, reloaded, ["role"], "conv_id") == before
     assert reloaded.support.cursor() == src.snapshot().version
+
+
+def test_distinct_rollup_synced_inside_streaming_apply(spark, make_table, tmp_path):
+    """`apply_stream(rollups=[DistinctCountRollup])` maintains both IVM
+    levels in the streaming pass (incl. the periodic compact folding
+    BOTH marts' MOR tails); after replay the distinct counts equal a
+    countDistinct recompute of the source."""
+    from digital_analytics_data_platform_spark import datagen
+    from digital_analytics_data_platform_spark.streaming import (
+        apply_stream,
+        cdc_file_stream,
+        write_log_segments,
+    )
+
+    n = 4_000
+    log = datagen.change_log(spark, n, n_convs=60, turns_per_conv=8)
+    log_dir = str(tmp_path / "cdclog")
+    write_log_segments(log, log_dir, n_segments=4)
+
+    tbl = make_table("dcr_stream_src")
+    dc = DistinctCountRollup.create(str(tmp_path / "dcr_stream_mart"), tbl, ["role"], "conv_id", n_buckets=4)
+    _, m = apply_stream(
+        spark, cdc_file_stream(spark, log_dir, max_files_per_trigger=1),
+        tbl.path, str(tmp_path / "ckpt"), pipeline_id="bronze", strategy="mor",
+        rollups=[dc], rollup_sync_every=2, compact_every=2,
+    )
+    assert m.batches >= 4
+    dc.sync(spark, tbl)  # drain the tail window past the last cadence tick
+    assert _mart(spark, dc, ["role"], "conv_id") == _truth(spark, tbl, ["role"], "conv_id")

@@ -24,8 +24,11 @@ atomic commit as the mart MERGE (``merge_changes(extra_props=…)``) —
 a crash between "totals applied" and "cursor advanced" cannot happen,
 and a replayed window is ledger-skipped.
 
-Invertible aggregates (COUNT, SUM, and anything derivable — AVG,
-rates) are maintained purely from the window. MIN/MAX are not
+Invertible aggregates (COUNT, SUM, SUM-of-squares, and anything
+derivable — AVG, rates, population variance/stddev =
+``sumsq/cnt − (sum/cnt)²``) are maintained purely from the window;
+exact COUNT(DISTINCT) composes two rollups (``DistinctCountRollup``).
+MIN/MAX are not
 invertible, so they use the dirty-group split (the Materialize /
 Flink-retract compromise): inserts fold in incrementally
 (``least``/``greatest``); a group is re-aggregated from the source
@@ -61,12 +64,20 @@ class IncrementalRollup:
         min_cols: list[str] | None = None,
         max_cols: list[str] | None = None,
         require_cols: list[str] | None = None,
+        sumsq_cols: list[str] | None = None,
     ):
         self.table = table
         self.group_cols = list(group_cols)
         self.sum_cols = list(sum_cols)
         self.min_cols = list(min_cols or [])
         self.max_cols = list(max_cols or [])
+        # sum-of-squares columns: invertible like SUM, so maintained
+        # purely from the window; with cnt and sum_<c> they serve exact
+        # population variance/stddev at read time:
+        #   var_pop = sumsq/cnt − (sum/cnt)²  (the reference's anomaly
+        # QA, A10, compares a latest week against a baseline AVG — this
+        # extends that to dispersion-aware bounds with no extra scan)
+        self.sumsq_cols = list(sumsq_cols or [])
         # rows with a null in any of these columns are excluded from the
         # fold (symmetrically for inserts and retractions, so exactness
         # is preserved). Default: the first group column only — a null
@@ -88,6 +99,7 @@ class IncrementalRollup:
         max_cols: list[str] | None = None,
         n_buckets: int = 16,
         require_cols: list[str] | None = None,
+        sumsq_cols: list[str] | None = None,
     ) -> "IncrementalRollup":
         """Create an empty rollup mart for ``source``. Group columns are
         typed from the source schema; measures land as ``sum_<col>``
@@ -99,6 +111,7 @@ class IncrementalRollup:
         fields = [T.StructField(g, src_schema[g].dataType) for g in group_cols]
         fields.append(T.StructField("cnt", T.LongType()))
         fields += [T.StructField(f"sum_{c}", T.DoubleType()) for c in sum_cols]
+        fields += [T.StructField(f"sumsq_{c}", T.DoubleType()) for c in sumsq_cols or []]
         fields += [T.StructField(f"min_{c}", src_schema[c].dataType) for c in min_cols or []]
         fields += [T.StructField(f"max_{c}", src_schema[c].dataType) for c in max_cols or []]
         fields.append(T.StructField("_v", T.LongType()))
@@ -109,7 +122,9 @@ class IncrementalRollup:
             order_cols=["_v"],
             n_buckets=n_buckets,
         )
-        return IncrementalRollup(tbl, group_cols, sum_cols, min_cols, max_cols, require_cols)
+        return IncrementalRollup(
+            tbl, group_cols, sum_cols, min_cols, max_cols, require_cols, sumsq_cols
+        )
 
     @staticmethod
     def load(
@@ -119,9 +134,10 @@ class IncrementalRollup:
         min_cols: list[str] | None = None,
         max_cols: list[str] | None = None,
         require_cols: list[str] | None = None,
+        sumsq_cols: list[str] | None = None,
     ) -> "IncrementalRollup":
         return IncrementalRollup(
-            LakeTable.load(path), group_cols, sum_cols, min_cols, max_cols, require_cols
+            LakeTable.load(path), group_cols, sum_cols, min_cols, max_cols, require_cols, sumsq_cols
         )
 
     # -- maintenance ---------------------------------------------------------
@@ -165,6 +181,13 @@ class IncrementalRollup:
                     (F.lit(sign) * F.coalesce(side[c].cast("double"), F.lit(0.0))).alias(f"sum_{c}")
                     for c in self.sum_cols
                 ],
+                *[
+                    (
+                        F.lit(sign)
+                        * F.coalesce(side[c].cast("double") * side[c].cast("double"), F.lit(0.0))
+                    ).alias(f"sumsq_{c}")
+                    for c in self.sumsq_cols
+                ],
                 *[side[c].alias(f"_mm_{c}") for c in mm_src],
             )
 
@@ -176,6 +199,7 @@ class IncrementalRollup:
         deltas = contrib.groupBy(*self.group_cols).agg(
             F.sum("cnt").alias("d_cnt"),
             *[F.sum(f"sum_{c}").alias(f"d_sum_{c}") for c in self.sum_cols],
+            *[F.sum(f"sumsq_{c}").alias(f"d_sumsq_{c}") for c in self.sumsq_cols],
             *[F.min(F.when(ins, F.col(f"_mm_{c}"))).alias(f"_ins_min_{c}") for c in self.min_cols],
             *[F.min(F.when(~ins, F.col(f"_mm_{c}"))).alias(f"_ret_min_{c}") for c in self.min_cols],
             *[F.max(F.when(ins, F.col(f"_mm_{c}"))).alias(f"_ins_max_{c}") for c in self.max_cols],
@@ -186,6 +210,8 @@ class IncrementalRollup:
         nonzero = F.col("d_cnt") != 0
         for c in self.sum_cols:
             nonzero = nonzero | (F.abs(F.col(f"d_sum_{c}")) > 0)
+        for c in self.sumsq_cols:
+            nonzero = nonzero | (F.abs(F.col(f"d_sumsq_{c}")) > 0)
         # MIN/MAX skip rule: retracted values come from rows live at the
         # old snapshot, so ret_min >= the group's old min. If the window's
         # inserted-min equals its retracted-min, any retraction AT the old
@@ -232,6 +258,7 @@ class IncrementalRollup:
             *self.group_cols,
             F.col("cnt").alias("_cur_cnt"),
             *[F.col(f"sum_{c}").alias(f"_cur_sum_{c}") for c in self.sum_cols],
+            *[F.col(f"sumsq_{c}").alias(f"_cur_sumsq_{c}") for c in self.sumsq_cols],
             *[F.col(f"min_{c}").alias(f"_cur_min_{c}") for c in self.min_cols],
             *[F.col(f"max_{c}").alias(f"_cur_max_{c}") for c in self.max_cols],
         )
@@ -247,6 +274,12 @@ class IncrementalRollup:
                     f"sum_{c}"
                 )
                 for c in self.sum_cols
+            ],
+            *[
+                (F.coalesce(F.col(f"_cur_sumsq_{c}"), F.lit(0.0)) + F.col(f"d_sumsq_{c}")).alias(
+                    f"sumsq_{c}"
+                )
+                for c in self.sumsq_cols
             ],
             *[F.col(f"_new_min_{c}").alias(f"min_{c}") for c in self.min_cols],
             *[F.col(f"_new_max_{c}").alias(f"max_{c}") for c in self.max_cols],

@@ -91,6 +91,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "(dirty-group recompute on extremum retraction)")
     ap.add_argument("--rollup-max", default=None,
                     help="comma-separated columns tracked as MAX in the rollup")
+    ap.add_argument("--rollup-sumsq", default=None,
+                    help="comma-separated numeric columns whose sum of squares the "
+                         "rollup maintains (serves exact variance/stddev at read time)")
     ap.add_argument("--rollup-distinct", default=None,
                     help="bronze-only, with --rollup-group: additionally maintain an "
                          "exact COUNT(DISTINCT <col>) mart per rollup group "
@@ -163,12 +166,14 @@ def main(argv: list[str] | None = None) -> dict:
                 roll = IncrementalRollup.load(
                     mart_path, split(args.rollup_group), split(args.rollup_sum),
                     split(args.rollup_min), split(args.rollup_max),
+                    sumsq_cols=split(args.rollup_sumsq),
                 )
             else:
                 roll = IncrementalRollup.create(
                     mart_path, LakeTable.load(bronze_path),
                     split(args.rollup_group), split(args.rollup_sum),
                     min_cols=split(args.rollup_min), max_cols=split(args.rollup_max),
+                    sumsq_cols=split(args.rollup_sumsq),
                     n_buckets=args.n_buckets,
                 )
             rollups = [roll]

@@ -418,3 +418,68 @@ def test_ivm_min_max_dirty_recompute_on_bloomed_source(spark, make_table, tmp_pa
     }
     assert got == truth
     assert truth["c1_2"] == (1, 1020, 1020)
+
+
+def test_ivm_sumsq_serves_exact_variance_through_churn(spark, make_table, tmp_path):
+    """sumsq columns are invertible like SUM: through updates and
+    deletes the mart's (cnt, sum, sumsq) must equal a recompute, and
+    the derived population variance must match Spark's var_pop."""
+    src = make_table("ivm_sq_src", n_buckets=4)
+    roll = IncrementalRollup.create(
+        str(tmp_path / "ivm_sq_mart"), src, ["role"], ["lsn"], sumsq_cols=["lsn"], n_buckets=4
+    )
+
+    def check():
+        got = {
+            r.role: (r.cnt, r.sum_lsn, r.sumsq_lsn) for r in roll.read(spark).collect()
+        }
+        truth = {
+            r.role: (r.cnt, r.s, r.sq)
+            for r in src.read(spark)
+            .groupBy("role")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("lsn").cast("double")).alias("s"),
+                F.sum(F.col("lsn").cast("double") * F.col("lsn")).alias("sq"),
+            )
+            .collect()
+        }
+        assert got == truth
+        var = {
+            r.role: round(r.v, 6)
+            for r in src.read(spark)
+            .groupBy("role")
+            .agg(F.var_pop(F.col("lsn").cast("double")).alias("v"))
+            .collect()
+        }
+        derived = {
+            role: round(sq / cnt - (s / cnt) ** 2, 6) for role, (cnt, s, sq) in got.items()
+        }
+        assert derived == var
+
+    merge_changes(
+        spark,
+        src,
+        cdc_rows(
+            spark,
+            [("U", f"c{i}", t, "user" if i % 2 else "assistant", "m", None, 1, i * 7 + t) for i in range(6) for t in range(3)],
+        ),
+        batch_key="b1",
+        strategy="mor",
+    )
+    roll.sync(spark, src)
+    check()
+
+    # update moves a row's lsn (retract old square, add new) + delete a row
+    merge_changes(
+        spark,
+        src,
+        cdc_rows(
+            spark,
+            [("U", "c1", 0, "user", "m2", None, 90, 5000), ("D", "c2", 2, None, None, None, 91, 5001)],
+        ),
+        batch_key="b2",
+        strategy="mor",
+    )
+    roll.sync(spark, src)
+    check()

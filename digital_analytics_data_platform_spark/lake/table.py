@@ -108,6 +108,10 @@ class Snapshot:
     files: list[dict[str, Any]]
     props: dict[str, Any] = field(default_factory=dict)
     lineage: list[dict[str, Any]] = field(default_factory=list)
+    # unix epoch seconds of the publish (Iceberg metadata timestamp-ms
+    # analog); None on pre-upgrade manifests — readers fall back to the
+    # snapshot file's mtime, which the atomic write pins to publish time
+    committed_at: float | None = None
 
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.schema_json))
@@ -124,6 +128,7 @@ class Snapshot:
                 "files": self.files,
                 "props": self.props,
                 "lineage": self.lineage,
+                "committed_at": self.committed_at,
             }
         )
 
@@ -140,6 +145,7 @@ class Snapshot:
             files=d["files"],
             props=d.get("props", {}),
             lineage=d.get("lineage", []),
+            committed_at=d.get("committed_at"),
         )
 
 
@@ -244,8 +250,12 @@ class LakeTable:
         so finishing its publish here is correct and un-wedges the table;
         we then raise ``CommitConflict`` so our caller recomputes against
         the now-visible state."""
+        import time
+
         snap_path = os.path.join(self.path, "snapshots", f"v{snap.version:012d}.json")
         cur_path = os.path.join(self.path, "_CURRENT")
+        if snap.committed_at is None:
+            snap.committed_at = time.time()
         try:
             _exclusive_write(snap_path, snap.to_json())
         except CommitConflict:
@@ -272,6 +282,7 @@ class LakeTable:
         include_deleted: bool = False,
         snapshot_version: int | None = None,
         tag: str | None = None,
+        as_of: "float | datetime.datetime | None" = None,
         min_order: tuple | None = None,
         stats_range: dict[str, tuple] | None = None,
         bloom_eq: dict[str, Any] | None = None,
@@ -303,15 +314,19 @@ class LakeTable:
         same last-writer-wins hash agg the MERGE uses. ``collapse``
         forces/suppresses this (default: auto from the manifest).
 
-        ``tag`` resolves a named pin from :meth:`set_tag` (mutually
-        exclusive with ``snapshot_version``)."""
+        ``tag`` resolves a named pin from :meth:`set_tag`; ``as_of``
+        resolves a wall-clock publish time via :meth:`version_at`
+        (``FOR TIMESTAMP AS OF`` analog). The three selectors are
+        mutually exclusive."""
+        if sum(x is not None for x in (snapshot_version, tag, as_of)) > 1:
+            raise ValueError("pass at most one of snapshot_version / tag / as_of")
         if tag is not None:
-            if snapshot_version is not None:
-                raise ValueError("pass either snapshot_version or tag, not both")
             tags = self.tags()
             if tag not in tags:
                 raise KeyError(f"no tag {tag!r} on table {self.path}")
             snapshot_version = tags[tag]
+        if as_of is not None:
+            snapshot_version = self.version_at(as_of)
         snap = self.snapshot(snapshot_version)
         files = snap.files
         if buckets is not None:
@@ -987,6 +1002,36 @@ class LakeTable:
             for n in os.listdir(snap_dir)
             if n.startswith("v") and n.endswith(".json")
         )
+
+    def committed_at(self, version: int) -> float:
+        """Publish time (unix epoch seconds) of a snapshot: the manifest's
+        ``committed_at``, falling back to the snapshot file's mtime for
+        pre-upgrade manifests (the atomic write pins it to publish)."""
+        ts = self.snapshot(version).committed_at
+        if ts is not None:
+            return float(ts)
+        return os.path.getmtime(os.path.join(self.path, "snapshots", f"v{version:012d}.json"))
+
+    def version_at(self, ts: "float | datetime.datetime") -> int:
+        """Time travel: the snapshot version current AT wall-clock ``ts``
+        (the Iceberg ``FOR TIMESTAMP AS OF`` analog) — the largest
+        version whose publish time is ≤ ``ts``. Raises if ``ts``
+        predates the table (matching Iceberg: no state existed to
+        read). Bounded by retained snapshots: :meth:`expire_snapshots`
+        trims how far back this can resolve, same contract as Iceberg
+        metadata expiry. Accepts epoch seconds or a datetime (naive =
+        local time, per ``datetime.timestamp()``)."""
+        import datetime as _dt
+
+        if isinstance(ts, _dt.datetime):
+            ts = ts.timestamp()
+        best = None
+        for v in self.list_snapshots():
+            if self.committed_at(v) <= ts:
+                best = v
+        if best is None:
+            raise ValueError(f"no snapshot of {self.path} existed at epoch {ts}")
+        return best
 
     # -- tags --------------------------------------------------------------
 

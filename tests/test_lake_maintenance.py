@@ -419,3 +419,57 @@ def test_files_df_metadata_table(spark, make_table):
     assert fdf.agg(F.sum("rows")).collect()[0][0] == sum(f["rows"] for f in snap.files)
     assert fdf.filter("bytes IS NULL").count() == 0
     assert "min_ts" in fdf.columns and "max_lsn" in fdf.columns
+
+
+def test_time_travel_version_at_and_as_of_read(spark, make_table):
+    """FOR TIMESTAMP AS OF analog: version_at resolves the snapshot
+    current at a wall-clock instant (manifest committed_at, mtime
+    fallback for pre-upgrade manifests); read(as_of=…) serves that
+    state; a pre-table timestamp raises."""
+    import json
+    import os
+    import time
+    from datetime import datetime
+
+    tbl = make_table("ttravel", n_buckets=2)
+    instants = []
+    for b in range(3):
+        merge_changes(
+            spark,
+            tbl,
+            cdc_rows(spark, [("U", "c1", 0, "user", f"text-v{b}", None, b * 10, b * 100)]),
+            batch_key=f"b{b}",
+            strategy="mor",
+        )
+        time.sleep(0.05)
+        instants.append(time.time())  # an instant AFTER commit b
+        time.sleep(0.05)
+
+    versions = tbl.list_snapshots()
+    assert [tbl.version_at(t) for t in instants] == versions[-3:]
+    # datetime input resolves identically
+    assert tbl.version_at(datetime.fromtimestamp(instants[0])) == versions[-3]
+
+    # as_of read serves each historical state
+    for b, t in enumerate(instants):
+        rows = tbl.read(spark, as_of=t).collect()
+        assert [r.text for r in rows] == [f"text-v{b}"]
+
+    # before the table existed → no state to read
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tbl.version_at(instants[0] - 3600)
+    with _pytest.raises(ValueError):
+        tbl.read(spark, as_of=instants[0], tag="published")  # two selectors
+
+    # pre-upgrade manifest (no committed_at field): mtime fallback
+    v = versions[-3]
+    p = os.path.join(tbl.path, "snapshots", f"v{v:012d}.json")
+    d = json.load(open(p))
+    d.pop("committed_at")
+    mtime = os.path.getmtime(p)
+    with open(p, "w") as f:
+        json.dump(d, f)
+    os.utime(p, (mtime, mtime))
+    assert tbl.version_at(instants[0]) == v

@@ -17,7 +17,14 @@ decoupled from exactness.
 Env knobs: IVM_SEED_EVENTS (default 16_000_000), IVM_BATCH_EVENTS
 (400_000), IVM_BATCHES (8), IVM_CPUS (8), IVM_BUCKETS (16),
 IVM_SEED_CONVS (100_000), IVM_WINDOW_CONVS (2_000).
-Artifact: bench_runs/IVM_r04.json.
+IVM_DISTINCT=1 swaps the mart for the two-level exact
+COUNT(DISTINCT conv_id)-per-role rollup (DistinctCountRollup) and the
+recompute/exactness oracle for `groupBy(role).countDistinct(conv_id)`
+— the support mart then carries O(roles × convs) pairs while the
+outer mart has one row per role, and per-tick cost must still track
+the delta, not the source.
+Artifact: bench_runs/IVM_r04.json (sum mode) /
+bench_runs/IVM_DISTINCT_r04.json (distinct mode).
 """
 
 import json
@@ -54,6 +61,7 @@ def main() -> dict:
     buckets = int(os.environ.get("IVM_BUCKETS", "16"))
     seed_convs = int(os.environ.get("IVM_SEED_CONVS", "100000"))
     window_convs = int(os.environ.get("IVM_WINDOW_CONVS", "2000"))
+    distinct_mode = os.environ.get("IVM_DISTINCT") == "1"
     spark = get_spark("bench-ivm", master=f"local[{cpus}]", shuffle_partitions=cpus)
 
     total = seed_events + batches * batch_events
@@ -76,9 +84,18 @@ def main() -> dict:
         os.path.join(d, "bronze"), seed.schema, ["conv_id", "turn_idx"], ["ts", "lsn"],
         n_buckets=buckets,
     )
-    roll = IncrementalRollup.create(
-        os.path.join(d, "mart"), tbl, ["conv_id"], ["turn_idx"], n_buckets=buckets
-    )
+    if distinct_mode:
+        from digital_analytics_data_platform_spark.plans.ivm import DistinctCountRollup
+
+        roll = DistinctCountRollup.create(
+            os.path.join(d, "mart"), tbl, ["role"], "conv_id", n_buckets=buckets
+        )
+        mart_cols = ["role", "distinct_conv_id"]
+    else:
+        roll = IncrementalRollup.create(
+            os.path.join(d, "mart"), tbl, ["conv_id"], ["turn_idx"], n_buckets=buckets
+        )
+        mart_cols = ["conv_id", "cnt", "sum_turn_idx"]
 
     ticks = []
 
@@ -95,18 +112,29 @@ def main() -> dict:
         # source scan + LWW collapse + hash agg, reduced to the same
         # digest shape so both sides pay the materialization.
         t0 = time.monotonic()
-        recomp = (
-            tbl.read(spark)
-            .groupBy("conv_id")
-            .agg(
-                F.count(F.lit(1)).alias("cnt"),
-                F.sum(F.col("turn_idx").cast("double")).alias("sum_turn_idx"),
+        if distinct_mode:
+            # null group keys are not aggregatable (the rollup contract,
+            # same as the sum mart's group0 rule) — the feed's
+            # delete-shaped events carry null payload columns
+            recomp = (
+                tbl.read(spark)
+                .filter(F.col("role").isNotNull())
+                .groupBy("role")
+                .agg(F.countDistinct("conv_id").alias("distinct_conv_id"))
             )
-        )
-        dig_recomp = _digest(recomp, ["conv_id", "cnt", "sum_turn_idx"])
+        else:
+            recomp = (
+                tbl.read(spark)
+                .groupBy("conv_id")
+                .agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.sum(F.col("turn_idx").cast("double")).alias("sum_turn_idx"),
+                )
+            )
+        dig_recomp = _digest(recomp, mart_cols)
         recompute_wall = time.monotonic() - t0
 
-        dig_mart = _digest(roll.read(spark), ["conv_id", "cnt", "sum_turn_idx"])
+        dig_mart = _digest(roll.read(spark), mart_cols)
         assert dig_mart == dig_recomp, f"tick {label}: mart {dig_mart} != recompute {dig_recomp}"
 
         ticks.append(
@@ -146,6 +174,7 @@ def main() -> dict:
     mean = lambda xs: sum(xs) / max(1, len(xs))  # noqa: E731
     out = {
         "metric": "IVM sync wall vs source growth (O(changed-groups) check), exactness verified per tick",
+        "distinct_mode": distinct_mode,
         "seed_events": seed_events,
         "batch_events": batch_events,
         "batches": batches,

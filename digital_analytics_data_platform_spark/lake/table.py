@@ -878,12 +878,15 @@ class LakeTable:
         tag: str | None = None,
     ) -> DataFrame:
         """Serving-path point lookup: every live row of one bucket-key
-        value (e.g. all turns of one conversation), composing the three
+        value (e.g. all turns of one conversation), composing the
         pruning tiers in one call — bucket (derived JVM-side with the
         table's own hash, one 1-row job), per-file bloom skip when the
-        table has `bloom_cols`, and the equality predicate on the
-        pruned read. At 10^10 events this touches one bucket's
-        bloom-surviving files, never the table."""
+        table has `bloom_cols`, per-file min/max stats as an equality
+        range (bites on key-clustered compacted layouts, where big
+        files saturate past their bloom budget but carry sliver-narrow
+        key stats), and the equality predicate on the pruned read. At
+        10^10 events this touches one bucket's surviving files, never
+        the table."""
         if tag is not None and snapshot_version is None:
             snapshot_version = self.tags().get(tag)
             if snapshot_version is None:
@@ -902,6 +905,7 @@ class LakeTable:
             snapshot_version=snapshot_version,
             tag=tag,
             bloom_eq={key0: value} if snap.props.get("bloom_cols") else None,
+            stats_range={key0: (_json_safe(value), _json_safe(value))},
         )
         return df.filter(F.col(key0) == F.lit(value))
 

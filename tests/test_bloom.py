@@ -209,3 +209,29 @@ def test_changed_key_reads_are_keyset_bloom_pruned_and_exact(spark, make_table):
         assert rows(dfs[id(blo)]), f"{reader}: window must be non-empty"
         n_blo, n_ctl = len(dfs[id(blo)].inputFiles()), len(dfs[id(ctl)].inputFiles())
         assert n_blo < n_ctl, f"{reader}: bloom pruned nothing ({n_blo}/{n_ctl})"
+
+
+def test_read_point_prunes_clustered_compacted_layout_via_key_stats(spark, make_table):
+    """Post-compaction files are big enough to saturate their bloom
+    budget, but a key-clustered compaction leaves sliver-narrow per-file
+    key min/max stats — read_point's equality stats_range must skip the
+    non-overlapping slivers, exactly (no version lost)."""
+    from digital_analytics_data_platform_spark.lake import compact
+
+    # no bloom_cols at all: stats must carry the pruning alone
+    tbl = make_table("bloomless_clustered", n_buckets=2)
+    _batches(spark, tbl, n_batches=4, convs_per_batch=30)
+    compact(spark, tbl, cluster_by=["conv_id"], write_salt=4)
+    snap = tbl.snapshot()
+    assert all("bloom_conv_id" not in f for f in snap.files)
+    per_bucket = max(
+        sum(1 for f in snap.files if f["bucket"] == b) for b in {f["bucket"] for f in snap.files}
+    )
+    assert per_bucket >= 3, "need multiple slivers per bucket for the test to mean anything"
+
+    target = "conv_02_011"
+    got = tbl.read_point(spark, target)
+    rows = got.collect()
+    assert sorted(r.turn_idx for r in rows) == [0, 1, 2]
+    # scanned strictly fewer files than the target bucket holds
+    assert len(got.inputFiles()) < per_bucket

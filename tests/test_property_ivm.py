@@ -85,3 +85,44 @@ def test_ivm_min_max_equals_recompute_for_any_log(events, n_windows):
             assert _mart(spark, roll) == _recompute(spark, src)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def _recompute_distinct(spark, src):
+    return {
+        r.role: r.d
+        for r in src.read(spark)
+        .filter(F.col("role").isNotNull())
+        .groupBy("role")
+        .agg(F.countDistinct("conv_id").alias("d"))
+        .collect()
+    }
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(event, min_size=2, max_size=16), st.integers(1, 3))
+def test_distinct_ivm_equals_recompute_for_any_log(events, n_windows):
+    """Same adversarial shape for the two-level COUNT(DISTINCT) rollup:
+    3 convs × 2 roles × heavy LWW ties → constant value churn between
+    groups, support rows flapping to zero and back."""
+    from digital_analytics_data_platform_spark.plans.ivm import DistinctCountRollup
+
+    spark = _get_spark()
+    d = tempfile.mkdtemp(prefix="prop_dcr_")
+    try:
+        src = LakeTable.create(
+            f"{d}/src", TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], ["ts", "lsn"], n_buckets=2
+        )
+        dc = DistinctCountRollup.create(f"{d}/mart", src, ["role"], "conv_id", n_buckets=2)
+        rows = [
+            (op, f"c{conv}", turn, role if op == "U" else None,
+             f"t{i}" if op == "U" else None, None, ts, i)
+            for i, (op, conv, turn, role, ts) in enumerate(events)
+        ]
+        per = max(1, len(rows) // n_windows)
+        for w in range(0, len(rows), per):
+            merge_changes(spark, src, cdc_rows(spark, rows[w : w + per]), batch_key=f"w{w}", strategy="mor")
+            dc.sync(spark, src)
+            got = {r.role: r.distinct_conv_id for r in dc.read(spark).collect()}
+            assert got == _recompute_distinct(spark, src)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

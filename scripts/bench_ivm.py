@@ -18,11 +18,15 @@ Env knobs: IVM_SEED_EVENTS (default 16_000_000), IVM_BATCH_EVENTS
 (400_000), IVM_BATCHES (8), IVM_CPUS (8), IVM_BUCKETS (16),
 IVM_SEED_CONVS (100_000), IVM_WINDOW_CONVS (2_000).
 IVM_DISTINCT=1 swaps the mart for the two-level exact
-COUNT(DISTINCT conv_id)-per-role rollup (DistinctCountRollup) and the
-recompute/exactness oracle for `groupBy(role).countDistinct(conv_id)`
-— the support mart then carries O(roles × convs) pairs while the
-outer mart has one row per role, and per-tick cost must still track
-the delta, not the source.
+COUNT(DISTINCT role)-per-conversation rollup (DistinctCountRollup) and
+the recompute/exactness oracle for
+`groupBy(conv_id).countDistinct(role)` — a high-cardinality outer mart
+(one row per conversation) whose recompute pays a full distinct-agg
+shuffle producing seed_convs rows every refresh, while the sync pays
+O(changed pairs + changed groups). (A low-cardinality grouping — 4
+roles — is NOT the win case: its recompute is a single cheap scan, and
+a measured run showed sync ≈ recompute there; distinct IVM earns its
+keep when the mart is wide.)
 Artifact: bench_runs/IVM_r04.json (sum mode) /
 bench_runs/IVM_DISTINCT_r04.json (distinct mode).
 """
@@ -88,9 +92,9 @@ def main() -> dict:
         from digital_analytics_data_platform_spark.plans.ivm import DistinctCountRollup
 
         roll = DistinctCountRollup.create(
-            os.path.join(d, "mart"), tbl, ["role"], "conv_id", n_buckets=buckets
+            os.path.join(d, "mart"), tbl, ["conv_id"], "role", n_buckets=buckets
         )
-        mart_cols = ["role", "distinct_conv_id"]
+        mart_cols = ["conv_id", "distinct_role"]
     else:
         roll = IncrementalRollup.create(
             os.path.join(d, "mart"), tbl, ["conv_id"], ["turn_idx"], n_buckets=buckets
@@ -113,14 +117,14 @@ def main() -> dict:
         # digest shape so both sides pay the materialization.
         t0 = time.monotonic()
         if distinct_mode:
-            # null group keys are not aggregatable (the rollup contract,
-            # same as the sum mart's group0 rule) — the feed's
-            # delete-shaped events carry null payload columns
+            # countDistinct ignores nulls (the feed's delete-shaped
+            # events carry null payloads); a group with ONLY null values
+            # has no support rows, hence no mart row → filter d > 0
             recomp = (
                 tbl.read(spark)
-                .filter(F.col("role").isNotNull())
-                .groupBy("role")
-                .agg(F.countDistinct("conv_id").alias("distinct_conv_id"))
+                .groupBy("conv_id")
+                .agg(F.countDistinct("role").alias("distinct_role"))
+                .filter(F.col("distinct_role") > 0)
             )
         else:
             recomp = (

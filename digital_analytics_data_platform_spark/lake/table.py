@@ -688,6 +688,7 @@ class LakeTable:
         since_version: int,
         until_version: int | None = None,
         broadcast_keys_max_rows: int = 2_000_000,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Changelog with **before/after row images** — the Delta CDF
         ``update_preimage``/``update_postimage`` analog (Iceberg
@@ -728,13 +729,30 @@ class LakeTable:
         where batches touch disjoint key sets, the before-image scan
         stays O(files that share keys with the window) instead of
         O(tail).
+
+        ``columns`` projects the images to key/order columns + the named
+        columns, and the projection is pushed into the parquet scans —
+        on text-heavy rows this is most of the read's bytes. The result
+        is the changelog **of the projected table**: a row whose changes
+        are confined to pruned columns is then NOT a change and is
+        dropped. That is exactly the contract aggregate consumers want
+        (an IVM fold over pruned-out columns contributes ±0 anyway);
+        wire-relay consumers must keep the default full projection.
         """
         new = self.snapshot(until_version)
         old = self.snapshot(since_version)
         old_paths = {f["path"] for f in old.files}
         added = [f for f in new.files if f["path"] not in old_paths]
         schema = new.schema()
-        row_fields = [f for f in schema.fields if f.name != DELETED_COL]
+        if columns is not None:
+            keep = set(columns) | set(new.key_cols) | set(new.order_cols)
+            unknown = keep - {f.name for f in schema.fields}
+            if unknown:
+                raise ValueError(f"columns not in table schema: {sorted(unknown)}")
+            proj_fields = [f for f in schema.fields if f.name in keep or f.name == DELETED_COL]
+        else:
+            proj_fields = list(schema.fields)
+        row_fields = [f for f in proj_fields if f.name != DELETED_COL]
         row_cols = [f.name for f in row_fields]
         row_t = T.StructType(row_fields)
         out_schema = T.StructType(
@@ -803,7 +821,7 @@ class LakeTable:
             prev.select(
                 *[
                     (F.col(f.name) if f.name in prev.columns else F.lit(None)).cast(f.dataType).alias(f.name)
-                    for f in schema.fields
+                    for f in proj_fields
                 ]
             ).join(keys, on=new.key_cols, how="left_semi"),
             new.key_cols,
@@ -820,7 +838,7 @@ class LakeTable:
         new_paths = {f["path"] for f in new.files}
         if all(p in new_paths for p in old_paths):
             cur = lww_collapse(
-                prev.unionByName(df_added.select(*[f.name for f in schema.fields])),
+                prev.unionByName(df_added.select(*[f.name for f in proj_fields])),
                 new.key_cols,
                 new.order_cols,
             )
@@ -833,7 +851,9 @@ class LakeTable:
                     snapshot_version=new.version,
                     bloom_and=bloom_keys,
                     collapse=False,
-                ).join(keys, on=new.key_cols, how="left_semi"),
+                )
+                .select(*[f.name for f in proj_fields])
+                .join(keys, on=new.key_cols, how="left_semi"),
                 new.key_cols,
                 new.order_cols,
             )
@@ -850,6 +870,18 @@ class LakeTable:
 
         joined = _imaged(prev, "before").join(_imaged(cur, "after"), on=new.key_cols, how="full")
         b, a = F.col("before"), F.col("after")
+        # Change detection for a PROJECTED view compares only key +
+        # requested columns: a redelivery whose visible payload is
+        # unchanged always advances its order cols, and counting that as
+        # an update would readmit every pruned-column-only change. Order
+        # cols participate only when explicitly requested (e.g. a
+        # MIN/MAX-over-lsn mart). The full view keeps whole-row compare.
+        if columns is None:
+            cmp_b, cmp_a = b, a
+        else:
+            cmp_cols = [c for c in row_cols if c in set(new.key_cols) | set(columns)]
+            cmp_b = F.struct(*[b[c] for c in cmp_cols])
+            cmp_a = F.struct(*[a[c] for c in cmp_cols])
         return (
             joined.select(
                 *new.key_cols,
@@ -857,7 +889,7 @@ class LakeTable:
                 "after",
                 F.when(b.isNull() & a.isNotNull(), F.lit("insert"))
                 .when(b.isNotNull() & a.isNull(), F.lit("delete"))
-                .when(b.isNotNull() & a.isNotNull() & ~b.eqNullSafe(a), F.lit("update"))
+                .when(b.isNotNull() & a.isNotNull() & ~cmp_b.eqNullSafe(cmp_a), F.lit("update"))
                 .alias("_change_type"),
                 *[
                     F.coalesce(F.col(f"_after_{c}"), F.col(f"_before_{c}")).alias(c)

@@ -169,8 +169,20 @@ class IncrementalRollup:
         if head <= since:
             return {"skipped": True, "since": since, "head": head}
 
-        clog = source.read_changelog(spark, since_version=since, until_version=head)
         mm_src = list(dict.fromkeys(self.min_cols + self.max_cols))
+        # Column-pruned changelog: the fold touches only group + measure
+        # columns, so the image read never hauls the fat payload columns
+        # (text) through scan/collapse/join. A payload-only update's
+        # contributions would cancel to ±0 anyway — the pruned changelog
+        # drops it before it costs anything.
+        needed = list(
+            dict.fromkeys(
+                [*self.group_cols, *self.sum_cols, *self.sumsq_cols, *mm_src, *self.require_cols]
+            )
+        )
+        clog = source.read_changelog(
+            spark, since_version=since, until_version=head, columns=needed
+        )
 
         def _side(img: str, sign: int) -> DataFrame:
             side = F.col(img)

@@ -182,3 +182,55 @@ def test_changelog_empty_window(spark, make_table, n_buckets):
     assert df.count() == 0
     # schema is stable even for the empty frame
     assert {"before", "after", "_change_type", "conv_id", "turn_idx", "ts", "lsn"} <= set(df.columns)
+
+
+def test_changelog_column_pruning_is_projected_changelog(spark, make_table):
+    """read_changelog(columns=[...]) returns the changelog OF THE
+    PROJECTED table: images carry only key/order + requested columns,
+    an update confined to a pruned column is not a change, and updates
+    visible in the projection match the full changelog's."""
+    import pytest as _pytest
+
+    tbl = make_table("clog_prune", n_buckets=2)
+    merge_changes(
+        spark,
+        tbl,
+        cdc_rows(
+            spark,
+            [("U", f"c{i}", 0, "user", f"orig{i}", None, 1, i) for i in range(4)],
+        ),
+        batch_key="b1",
+        strategy="mor",
+    )
+    since = tbl.snapshot().version
+    # c0: text-only update (invisible to a role-projected changelog);
+    # c1: role change (visible); c2: delete; c9: insert
+    merge_changes(
+        spark,
+        tbl,
+        cdc_rows(
+            spark,
+            [
+                ("U", "c0", 0, "user", "rewritten", None, 9, 100),
+                ("U", "c1", 0, "assistant", "orig1", None, 9, 101),
+                ("D", "c2", 0, None, None, None, 9, 102),
+                ("U", "c9", 0, "tool", "new", None, 9, 103),
+            ],
+        ),
+        batch_key="b2",
+        strategy="mor",
+    )
+    pruned = tbl.read_changelog(spark, since_version=since, columns=["role"])
+    assert sorted(pruned.select("before").schema[0].dataType.fieldNames()) == sorted(
+        ["conv_id", "turn_idx", "role", "ts", "lsn"]
+    )
+    got = {r.conv_id: r._change_type for r in pruned.collect()}
+    assert got == {"c1": "update", "c2": "delete", "c9": "insert"}  # c0 dropped
+
+    full = tbl.read_changelog(spark, since_version=since)
+    fullmap = {r.conv_id: r._change_type for r in full.collect()}
+    assert fullmap["c0"] == "update"  # the full view still sees it
+    assert {k: v for k, v in fullmap.items() if k != "c0"} == got
+
+    with _pytest.raises(ValueError):
+        tbl.read_changelog(spark, since_version=since, columns=["nope"])

@@ -13,11 +13,12 @@ from .transcripts import (
 )
 from .quality import run_quality_checks
 from .pipeline import MedallionPipeline, MedallionResult
-from .ivm import DistinctCountRollup, IncrementalRollup
+from .ivm import DistinctCountRollup, IncrementalRollup, JoinRollup
 
 __all__ = [
     "DistinctCountRollup",
     "IncrementalRollup",
+    "JoinRollup",
     "MedallionPipeline",
     "MedallionResult",
     "build_silver",

@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..lake.merge import merge_changes
-from ..lake.table import _BLOOM_M_DEFAULT, LakeTable, keys_bloom
+from ..lake.table import _BLOOM_M_DEFAULT, DELETED_COL, LakeTable, keys_bloom, lww_collapse
 
 _CURSOR_PROP = "ivm_src_version"
 
@@ -207,6 +207,40 @@ class IncrementalRollup:
         for c in self.require_cols:
             required = required & F.col(c).isNotNull()
         contrib = _side("after", 1).unionByName(_side("before", -1)).filter(required)
+        out = self._fold_apply(
+            spark,
+            contrib,
+            batch_key=f"ivm:{since}->{head}",
+            version_value=head,
+            extra_props={_CURSOR_PROP: head},
+            strategy=strategy,
+            extrema_source=source,
+            extrema_head=head,
+        )
+        return {"since": since, "head": head, **out}
+
+    def _fold_apply(
+        self,
+        spark: SparkSession,
+        contrib: DataFrame,
+        *,
+        batch_key: str,
+        version_value: int,
+        extra_props: dict[str, Any],
+        strategy: str = "mor",
+        extrema_source: LakeTable | None = None,
+        extrema_head: int | None = None,
+    ) -> dict[str, Any]:
+        """Fold a signed-contribution retract stream into the mart and
+        commit it with ``extra_props`` (the sync cursor[s]) riding the
+        same atomic MERGE. ``contrib`` columns: ``group_cols``, ``cnt``
+        (the ±1 sign), signed ``sum_<c>``/``sumsq_<c>``, and (MIN/MAX
+        marts only) raw ``_mm_<c>`` candidate values. Shared by the
+        changelog fold (:meth:`sync`) and the delta-join fold
+        (:class:`JoinRollup`), which build different retract streams
+        over the same mart algebra."""
+        if (self.min_cols or self.max_cols) and extrema_source is None:
+            raise ValueError("MIN/MAX mart folds need extrema_source/head for dirty recompute")
         ins = F.col("cnt") > 0  # inserted (after-image) vs retracted (before-image) rows
         deltas = contrib.groupBy(*self.group_cols).agg(
             F.sum("cnt").alias("d_cnt"),
@@ -260,11 +294,11 @@ class IncrementalRollup:
                 spark,
                 self.table,
                 spark.createDataFrame([], self._batch_schema(snap)),
-                batch_key=f"ivm:{since}->{head}",
+                batch_key=batch_key,
                 strategy=strategy,
-                extra_props={_CURSOR_PROP: head},
+                extra_props=extra_props,
             )
-            return {"skipped": False, "since": since, "head": head, "groups": 0, "merge": res}
+            return {"skipped": False, "groups": 0, "merge": res}
 
         cur = self.table.read(spark, buckets=touched).select(
             *self.group_cols,
@@ -276,7 +310,7 @@ class IncrementalRollup:
         )
         merged = deltas.join(cur, on=self.group_cols, how="left")
         if self.min_cols or self.max_cols:
-            merged = self._with_extrema(spark, source, head, merged)
+            merged = self._with_extrema(spark, extrema_source, extrema_head, merged)
         new_cnt = F.coalesce(F.col("_cur_cnt"), F.lit(0)) + F.col("d_cnt")
         batch = merged.select(
             *self.group_cols,
@@ -295,22 +329,20 @@ class IncrementalRollup:
             ],
             *[F.col(f"_new_min_{c}").alias(f"min_{c}") for c in self.min_cols],
             *[F.col(f"_new_max_{c}").alias(f"max_{c}") for c in self.max_cols],
-            F.lit(head).cast("long").alias("_v"),
+            F.lit(version_value).cast("long").alias("_v"),
             F.when(new_cnt <= 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
         )
         res = merge_changes(
             spark,
             self.table,
             batch,
-            batch_key=f"ivm:{since}->{head}",
+            batch_key=batch_key,
             strategy=strategy,
-            extra_props={_CURSOR_PROP: head},
+            extra_props=extra_props,
         )
         deltas.unpersist()
         return {
             "skipped": bool(res.skipped),
-            "since": since,
-            "head": head,
             # changed groups = logical delta; keys_written additionally
             # counts co-bucketed rewrites under COW (write amplification)
             "groups": res.inserts + res.updates + res.deletes + res.upserts,
@@ -549,3 +581,351 @@ class DistinctCountRollup:
     def read(self, spark: SparkSession) -> DataFrame:
         """Live ``(*group_cols, distinct_<value_col>)`` totals."""
         return self.outer.read(spark).withColumnRenamed("cnt", f"distinct_{self.value_col}")
+
+
+_FACT_CURSOR = "ivm_fact_version"
+_DIM_CURSOR = "ivm_dim_version"
+
+
+class JoinRollup:
+    """Exact incremental maintenance of a **join-then-aggregate** view —
+    ``SELECT group_cols, COUNT(*), SUM(…) FROM fact JOIN dim USING
+    (join_cols) GROUP BY group_cols`` — from BOTH tables' image
+    changelogs (the Flink two-input delta-join / Materialize
+    ``JOIN``-in-a-materialized-view analog, composed from S24's exact
+    changelog and S27's retract fold).
+
+    The multiset identity that makes one pass exact::
+
+        F₁⋈D₁ − F₀⋈D₀  =  ΔF⋈D₁  +  F₀⋈ΔD
+
+    where ΔF/ΔD are the *signed* image changelogs (+after, −before) of
+    the fact/dim windows and F₀/D₁ are snapshot reads at the old fact /
+    new dim version. Cross-window interactions (a fact row AND its dim
+    row both changing in the same window) cancel by construction, so
+    the fold needs no coordination between the two feeds — each side's
+    delta joins one static snapshot of the other.
+
+    Reference analog: every gold mart in the reference re-joins its
+    full lookback window to dimension tables per run (e.g. the campaign
+    weekly MERGE re-joining calendar + account dims over 120 days);
+    this maintains the joined rollup at O(Δfact·matched + Δdim·matched)
+    per sync with no horizon assumption — a late dim update (a campaign
+    re-mapped to a new account mid-quarter) retracts exactly the joined
+    contributions it previously produced.
+
+    Scale shape per sync: two column-pruned changelog reads (each
+    O(touched buckets + delta)); two snapshot probe reads, each
+    restricted to the OTHER side's changed join keys — bucket-pruned
+    and keyset-bloom-pruned when the join column is that table's first
+    key column (the designed layout: dim keyed by the join key, fact
+    key-prefixed by it), and always key-semi-joined; one hash agg over
+    the joined contributions (map-side combinable ±sums); one
+    O(changed groups) MOR mart MERGE. No step is O(fact), O(dim), or
+    O(mart). Skew: a hot join key (one conversation with millions of
+    events joined to one dim row) broadcasts the dim probe — the join
+    is then map-side and never shuffles the fact delta.
+
+    Exactly-once: BOTH cursors (``ivm_fact_version``,
+    ``ivm_dim_version``) ride the mart MERGE's atomic commit, so a
+    crash can never apply a window twice (ledger) or advance one cursor
+    without the other.
+
+    Inner equi-join only: rows with null join keys never match (SQL
+    semantics). Left-join marts need per-key support counts to retract
+    null-extensions — compose :class:`DistinctCountRollup`-style if
+    needed. MIN/MAX are not supported (a joined retraction's dirty
+    recompute would need the joined view, not one source); SUM / COUNT /
+    SUM-of-squares (→ AVG, variance) are exact.
+    """
+
+    def __init__(
+        self,
+        rollup: IncrementalRollup,
+        dim: LakeTable,
+        join_cols: list[str],
+        fact_cols: list[str],
+        dim_cols: list[str],
+        *,
+        broadcast_keys_max_rows: int = 2_000_000,
+    ):
+        if rollup.min_cols or rollup.max_cols:
+            raise ValueError("JoinRollup maintains SUM/COUNT/SUMSQ only (no MIN/MAX)")
+        self.rollup = rollup
+        self.table = rollup.table
+        self.dim = dim
+        self.join_cols = list(join_cols)
+        self.fact_cols = list(fact_cols)  # non-join columns read from the fact side
+        self.dim_cols = list(dim_cols)  # non-join columns read from the dim side
+        self.broadcast_keys_max_rows = broadcast_keys_max_rows
+
+    # -- lifecycle ---------------------------------------------------------
+
+    @staticmethod
+    def _split_cols(
+        fact: LakeTable, dim: LakeTable, join_cols: list[str], referenced: list[str]
+    ) -> tuple[list[str], list[str]]:
+        """Resolve which side owns each referenced column. Join columns
+        exist on both sides (read from whichever the plan touches);
+        every other column must be unambiguous."""
+        f_names = {f.name for f in fact.snapshot().schema().fields}
+        d_names = {f.name for f in dim.snapshot().schema().fields}
+        fact_cols, dim_cols = [], []
+        for c in referenced:
+            if c in join_cols:
+                continue
+            in_f, in_d = c in f_names, c in d_names
+            if in_f and in_d:
+                raise ValueError(
+                    f"column {c!r} exists in both fact and dim — rename one side "
+                    "(join columns are the only legal overlap)"
+                )
+            if in_f:
+                fact_cols.append(c)
+            elif in_d:
+                dim_cols.append(c)
+            else:
+                raise ValueError(f"column {c!r} in neither fact nor dim schema")
+        return fact_cols, dim_cols
+
+    @staticmethod
+    def create(
+        path: str,
+        fact: LakeTable,
+        dim: LakeTable,
+        *,
+        join_cols: list[str],
+        group_cols: list[str],
+        sum_cols: list[str] | None = None,
+        sumsq_cols: list[str] | None = None,
+        n_buckets: int = 16,
+    ) -> "JoinRollup":
+        """Create an empty joined-rollup mart. ``group_cols`` /
+        ``sum_cols`` may reference columns from either side; join
+        columns themselves may group."""
+        sum_cols = list(sum_cols or [])
+        sumsq_cols = list(sumsq_cols or [])
+        referenced = list(dict.fromkeys([*group_cols, *sum_cols, *sumsq_cols]))
+        fact_cols, dim_cols = JoinRollup._split_cols(fact, dim, join_cols, referenced)
+        f_schema = fact.snapshot().schema()
+        d_schema = dim.snapshot().schema()
+
+        def _typ(c: str) -> T.DataType:
+            if c in {f.name for f in f_schema.fields}:
+                return f_schema[c].dataType
+            return d_schema[c].dataType
+
+        fields = [T.StructField(g, _typ(g)) for g in group_cols]
+        fields.append(T.StructField("cnt", T.LongType()))
+        fields += [T.StructField(f"sum_{c}", T.DoubleType()) for c in sum_cols]
+        fields += [T.StructField(f"sumsq_{c}", T.DoubleType()) for c in sumsq_cols]
+        fields.append(T.StructField("_v", T.LongType()))
+        tbl = LakeTable.create(
+            path,
+            T.StructType(fields),
+            key_cols=list(group_cols),
+            order_cols=["_v"],
+            n_buckets=n_buckets,
+        )
+        roll = IncrementalRollup(tbl, list(group_cols), sum_cols, sumsq_cols=sumsq_cols)
+        return JoinRollup(roll, dim, join_cols, fact_cols, dim_cols)
+
+    @staticmethod
+    def load(
+        path: str,
+        dim: LakeTable,
+        *,
+        join_cols: list[str],
+        group_cols: list[str],
+        sum_cols: list[str] | None = None,
+        sumsq_cols: list[str] | None = None,
+        fact_schema: T.StructType | None = None,
+    ) -> "JoinRollup":
+        tbl = LakeTable.load(path)
+        roll = IncrementalRollup(
+            tbl, list(group_cols), list(sum_cols or []), sumsq_cols=list(sumsq_cols or [])
+        )
+        referenced = list(dict.fromkeys([*group_cols, *(sum_cols or []), *(sumsq_cols or [])]))
+        d_names = {f.name for f in dim.snapshot().schema().fields}
+        dim_cols = [c for c in referenced if c in d_names and c not in join_cols]
+        fact_cols = [c for c in referenced if c not in d_names and c not in join_cols]
+        return JoinRollup(roll, dim, join_cols, fact_cols, dim_cols)
+
+    # -- maintenance ---------------------------------------------------------
+
+    @property
+    def tables(self) -> list[LakeTable]:
+        """Marts this rollup WRITES (the dim is read-only here)."""
+        return [self.table]
+
+    def cursors(self) -> tuple[int, int]:
+        props = self.table.snapshot().props
+        return int(props.get(_FACT_CURSOR, 0)), int(props.get(_DIM_CURSOR, 0))
+
+    def _signed_images(self, clog: DataFrame, cols: list[str]) -> DataFrame:
+        """Flatten an image changelog into signed rows: +1 per after
+        image, −1 per before image."""
+
+        def _side(img: str, sign: int) -> DataFrame:
+            s = F.col(img)
+            return clog.filter(s.isNotNull()).select(
+                *[s[c].alias(c) for c in cols], F.lit(sign).cast("long").alias("_sign")
+            )
+
+        return _side("after", 1).unionByName(_side("before", -1))
+
+    def _probe(
+        self,
+        spark: SparkSession,
+        table: LakeTable,
+        version: int,
+        keys: DataFrame,
+        cols: list[str],
+        *,
+        broadcast_ok: bool,
+    ) -> DataFrame:
+        """Read ``cols`` of ``table``'s live rows at ``version``,
+        restricted to the join-key tuples in ``keys``. Three pruning
+        tiers when the first join column is the table's first key
+        column: manifest bucket list, per-file keyset bloom
+        (``bloom_cols``), then the semi-join as the correctness filter.
+        Pre-collapse row filtering is applied only on that first KEY
+        column (all LWW versions of a key share it, so
+        filter∘collapse ≡ collapse∘filter); payload join columns are
+        matched only after the collapse — filtering them earlier could
+        elect a stale version as the filtered subset's latest."""
+        snap = table.snapshot(version)
+        j0 = self.join_cols[0]
+        aligned = j0 == snap.key_cols[0]
+        buckets = None
+        bloom_and = None
+        if aligned:
+            buckets = [
+                r["b"]
+                for r in keys.select(
+                    table.bucket_expr(snap.n_buckets, j0).alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            if not buckets:
+                out_schema = T.StructType([snap.schema()[c] for c in cols])
+                return spark.createDataFrame([], out_schema)
+            if j0 in (snap.props.get("bloom_cols") or []) and broadcast_ok:
+                keyset = keys_bloom(
+                    keys.select(j0), j0, int(snap.props.get("bloom_m", _BLOOM_M_DEFAULT))
+                )
+                if keyset is not None:
+                    bloom_and = {j0: keyset}
+        raw = table.read(
+            spark,
+            buckets=buckets,
+            snapshot_version=version,
+            bloom_and=bloom_and,
+            include_deleted=True,
+            collapse=False,
+        )
+        needed = list(dict.fromkeys([*cols, *snap.key_cols, *snap.order_cols, DELETED_COL]))
+        raw = raw.select(*needed)
+
+        def _hint(df: DataFrame) -> DataFrame:
+            return F.broadcast(df) if broadcast_ok else df
+
+        if aligned:
+            raw = raw.join(_hint(keys.select(j0).distinct()), on=j0, how="left_semi")
+        live = lww_collapse(raw, snap.key_cols, snap.order_cols).filter(~F.col(DELETED_COL))
+        return live.join(_hint(keys), on=self.join_cols, how="left_semi").select(*cols)
+
+    def sync(
+        self, spark: SparkSession, fact: LakeTable, *, strategy: str = "mor"
+    ) -> dict[str, Any]:
+        """Advance the joined mart to (fact head, dim head). Exact for
+        any interleaving of inserts/updates/deletes on either side —
+        including fact rows re-keyed to a different join value and dim
+        payload rewrites that move whole join groups; idempotent under
+        replay (ledger + atomic dual cursor)."""
+        f0, d0 = self.cursors()
+        f1 = fact.snapshot().version
+        d1 = self.dim.snapshot().version
+        if f1 <= f0 and d1 <= d0:
+            return {"skipped": True, "fact": (f0, f1), "dim": (d0, d1)}
+
+        need_f = list(dict.fromkeys([*self.join_cols, *self.fact_cols]))
+        need_d = list(dict.fromkeys([*self.join_cols, *self.dim_cols]))
+        out_cols = [*self.join_cols, *self.fact_cols, *self.dim_cols, "_sign"]
+        parts: list[DataFrame] = []
+        pinned: list[DataFrame] = []
+        if f1 > f0:
+            d_fact = self._signed_images(
+                fact.read_changelog(spark, since_version=f0, until_version=f1, columns=need_f),
+                need_f,
+            ).persist()
+            pinned.append(d_fact)
+            small = d_fact.limit(self.broadcast_keys_max_rows + 1).count() <= self.broadcast_keys_max_rows
+            dim_probe = self._probe(
+                spark,
+                self.dim,
+                d1,
+                d_fact.select(*self.join_cols).distinct(),
+                need_d,
+                broadcast_ok=small,
+            )
+            parts.append(d_fact.join(dim_probe, on=self.join_cols, how="inner").select(*out_cols))
+        if d1 > d0:
+            d_dim = self._signed_images(
+                self.dim.read_changelog(spark, since_version=d0, until_version=d1, columns=need_d),
+                need_d,
+            ).persist()
+            pinned.append(d_dim)
+            small_d = d_dim.limit(self.broadcast_keys_max_rows + 1).count() <= self.broadcast_keys_max_rows
+            fact_probe = self._probe(
+                spark,
+                fact,
+                f0,
+                d_dim.select(*self.join_cols).distinct(),
+                need_f,
+                broadcast_ok=small_d,
+            )
+            parts.append(fact_probe.join(d_dim, on=self.join_cols, how="inner").select(*out_cols))
+
+        contrib_rows = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        roll = self.rollup
+        contrib = contrib_rows.select(
+            *roll.group_cols,
+            F.col("_sign").alias("cnt"),
+            *[
+                (F.col("_sign") * F.coalesce(F.col(c).cast("double"), F.lit(0.0))).alias(f"sum_{c}")
+                for c in roll.sum_cols
+            ],
+            *[
+                (
+                    F.col("_sign")
+                    * F.coalesce(F.col(c).cast("double") * F.col(c).cast("double"), F.lit(0.0))
+                ).alias(f"sumsq_{c}")
+                for c in roll.sumsq_cols
+            ],
+        )
+        required = F.lit(True)
+        for c in roll.require_cols:
+            required = required & F.col(c).isNotNull()
+        out = roll._fold_apply(
+            spark,
+            contrib.filter(required),
+            batch_key=f"ivmj:{f0},{d0}->{f1},{d1}",
+            # strictly monotone across syncs (at least one cursor
+            # advanced), so mart LWW under MOR appends stays correct
+            version_value=f1 + d1,
+            extra_props={_FACT_CURSOR: f1, _DIM_CURSOR: d1},
+            strategy=strategy,
+        )
+        for df in pinned:
+            df.unpersist()
+        return {"fact": (f0, f1), "dim": (d0, d1), **out}
+
+    # -- consumption -------------------------------------------------------
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """The joined mart's live totals (``avg_<c>`` = ``sum_<c>/cnt``,
+        ``var_pop_<c>`` = ``sumsq_<c>/cnt − (sum_<c>/cnt)²`` derivable
+        by the reader)."""
+        return self.table.read(spark).drop("_v")

@@ -27,8 +27,17 @@ O(changed pairs + changed groups). (A low-cardinality grouping — 4
 roles — is NOT the win case: its recompute is a single cheap scan, and
 a measured run showed sync ≈ recompute there; distinct IVM earns its
 keep when the mart is wide.)
+IVM_JOIN=1 swaps the mart for the delta-join rollup (JoinRollup): a
+conv→channel dimension table (seed_convs rows) joins the fact feed and
+the mart groups by channel (cnt + sum(turn_idx) + sum(weight)); every
+tick ALSO rewrites a slice of dim rows to new channels (group moves
+that retract joined contributions), and the recompute baseline pays
+the full fact⋈dim join + agg a lookback-free refresh would pay, while
+the sync folds two changelog deltas against pruned snapshot probes.
 Artifact: bench_runs/IVM_r04.json (sum mode) /
-bench_runs/IVM_DISTINCT_r04.json (distinct mode).
+bench_runs/IVM_DISTINCT_r04.json (distinct mode) /
+bench_runs/IVM_JOIN_r04.json (join mode; IVM_DIM_CHURN dim rows
+re-channeled per tick, default 1_000).
 """
 
 import json
@@ -66,6 +75,8 @@ def main() -> dict:
     seed_convs = int(os.environ.get("IVM_SEED_CONVS", "100000"))
     window_convs = int(os.environ.get("IVM_WINDOW_CONVS", "2000"))
     distinct_mode = os.environ.get("IVM_DISTINCT") == "1"
+    join_mode = os.environ.get("IVM_JOIN") == "1"
+    dim_churn = int(os.environ.get("IVM_DIM_CHURN", "1000"))
     spark = get_spark("bench-ivm", master=f"local[{cpus}]", shuffle_partitions=cpus)
 
     total = seed_events + batches * batch_events
@@ -88,7 +99,42 @@ def main() -> dict:
         os.path.join(d, "bronze"), seed.schema, ["conv_id", "turn_idx"], ["ts", "lsn"],
         n_buckets=buckets,
     )
-    if distinct_mode:
+    def dim_batch(conv_lo: int, conv_hi: int, salt: int):
+        """Deterministic dim rows for conv ids [lo, hi): channel drawn
+        from 8 values re-keyed by `salt` (so a new salt moves ~7/8 of
+        the slice to a different channel), plus a numeric weight."""
+        return spark.range(conv_lo, conv_hi).select(
+            F.concat(F.lit("conv_"), F.lpad(F.col("id").cast("string"), 8, "0")).alias("conv_id"),
+            F.concat(
+                F.lit("ch_"), F.pmod(F.xxhash64(F.col("id") + F.lit(salt)), F.lit(8)).cast("string")
+            ).alias("channel"),
+            # multiples of 0.25 are exactly representable in binary
+            # floating point, so SUM(weight) is order-independent and
+            # the mart/recompute digests can compare exactly
+            (F.pmod(F.col("id"), F.lit(16)) / F.lit(4.0)).alias("weight"),
+            F.timestamp_seconds(F.lit(1767225600 + salt)).alias("ts"),
+            (F.lit(salt) * F.lit(10_000_000) + F.col("id")).alias("lsn"),
+        )
+
+    if join_mode:
+        from digital_analytics_data_platform_spark.plans.ivm import JoinRollup
+
+        dim0 = dim_batch(0, seed_convs, 0)
+        dimtbl = LakeTable.create(
+            os.path.join(d, "dim"), dim0.schema, ["conv_id"], ["ts", "lsn"], n_buckets=buckets
+        )
+        merge_changes(spark, dimtbl, dim0, batch_key="dim-seed", strategy="mor")
+        roll = JoinRollup.create(
+            os.path.join(d, "mart"),
+            tbl,
+            dimtbl,
+            join_cols=["conv_id"],
+            group_cols=["channel"],
+            sum_cols=["turn_idx", "weight"],
+            n_buckets=buckets,
+        )
+        mart_cols = ["channel", "cnt", "sum_turn_idx", "sum_weight"]
+    elif distinct_mode:
         from digital_analytics_data_platform_spark.plans.ivm import DistinctCountRollup
 
         roll = DistinctCountRollup.create(
@@ -103,9 +149,11 @@ def main() -> dict:
 
     ticks = []
 
-    def tick(label, batch):
+    def tick(label, batch, dbatch=None):
         t0 = time.monotonic()
         merge_changes(spark, tbl, batch, batch_key=f"b{label}", strategy="mor")
+        if dbatch is not None:
+            merge_changes(spark, dimtbl, dbatch, batch_key=f"d{label}", strategy="mor")
         apply_wall = time.monotonic() - t0
 
         t0 = time.monotonic()
@@ -116,7 +164,18 @@ def main() -> dict:
         # source scan + LWW collapse + hash agg, reduced to the same
         # digest shape so both sides pay the materialization.
         t0 = time.monotonic()
-        if distinct_mode:
+        if join_mode:
+            recomp = (
+                tbl.read(spark)
+                .join(dimtbl.read(spark), on="conv_id")
+                .groupBy("channel")
+                .agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.sum(F.col("turn_idx").cast("double")).alias("sum_turn_idx"),
+                    F.sum("weight").alias("sum_weight"),
+                )
+            )
+        elif distinct_mode:
             # countDistinct ignores nulls (the feed's delete-shaped
             # events carry null payloads); a group with ONLY null values
             # has no support rows, hence no mart row → filter d > 0
@@ -171,7 +230,14 @@ def main() -> dict:
         batch = raw.withColumn(
             "conv_id", F.concat(F.lit("conv_"), F.lpad(new_num.cast("string"), 8, "0"))
         )
-        tick(b, batch)
+        dbatch = None
+        if join_mode:
+            # group-move churn: re-channel a rolling slice of existing
+            # dim rows (salt=b+1 redraws each conv's channel), forcing
+            # retraction of their already-joined contributions
+            start = (b * dim_churn * 13) % max(1, seed_convs - dim_churn)
+            dbatch = dim_batch(start, start + dim_churn, b + 1)
+        tick(b, batch, dbatch)
 
     inc = ticks[1:]
     half = len(inc) // 2
@@ -179,6 +245,8 @@ def main() -> dict:
     out = {
         "metric": "IVM sync wall vs source growth (O(changed-groups) check), exactness verified per tick",
         "distinct_mode": distinct_mode,
+        "join_mode": join_mode,
+        "dim_churn": dim_churn if join_mode else None,
         "seed_events": seed_events,
         "batch_events": batch_events,
         "batches": batches,

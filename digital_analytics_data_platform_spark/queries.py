@@ -2266,6 +2266,87 @@ def q_multimodal_features(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Sessionization — timeout-gap sessions over the events feed
+# ref analog: the clickstream entry-pages pipeline consumes upstream-
+# sessionized rows (sql/08_SDI_CLICKSTREAM/01_BRONZE/MERGE/
+# 01_sp_merge_…entryPagesSession_daily.sql:131-136); this is the
+# engine-side sessionizer (operators/sessions.py), F.session_window in
+# batch; same operator runs under a watermark in Structured Streaming.
+def q_session_rollup(spark, sf_dir):
+    """Per-(user, session) rollup, 30-minute idle gap: a new session
+    starts when the gap EXCEEDS the timeout (exactly-at-gap merges);
+    session_end = last_ts + gap (the native session_window convention,
+    pinned in tests)."""
+    from .operators.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(
+        ev,
+        ["user_id"],
+        ts_col="ts",
+        gap="30 minutes",
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.round(F.sum("value"), 6),
+        },
+    )
+
+
+SQL_SESSION_ROLLUP = """
+WITH b AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM b
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM s
+GROUP BY user_id, sid
+"""
+
+
+def q_session_ids(spark, sf_dir):
+    """Row-level session labeling (gaps-and-islands): every event gets
+    its per-user 1-based session_seq and the session's start ts."""
+    from .operators.sessions import sessionize_ids
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = sessionize_ids(
+        ev, ["user_id"], ts_col="ts", gap_seconds=1800, tiebreak_cols=["event_id"]
+    )
+    return out.select("event_id", "user_id", "ts", "session_seq", "session_start")
+
+
+SQL_SESSION_IDS = """
+WITH b AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM b
+)
+SELECT event_id, user_id, ts, session_seq,
+       MIN(ts) OVER (PARTITION BY user_id, session_seq) AS session_start
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # The driver's CORRECTNESS gate records AT MOST 50 rows (observed r2:
 # 54 registered → 50 rows; r3: 63 → 50 — a hard count cap, not a
 # budget). The registry therefore holds EXACTLY the 50 entries below,
@@ -2350,6 +2431,8 @@ PYTEST_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_png": q_multimodal_png,  # merged into multimodal_roundtrip
     "multimodal_jpeg": q_multimodal_jpeg,  # merged into multimodal_roundtrip
     "patch_merge": q_patch_merge,  # oracle-checked in pytest (EXTRA_ORACLES)
+    "session_rollup": q_session_rollup,  # oracle-checked in pytest (EXTRA_ORACLES)
+    "session_ids": q_session_ids,  # oracle-checked in pytest (EXTRA_ORACLES)
 }
 
 # Oracles for PYTEST_ONLY entries: same DuckDB gate, run by
@@ -2358,6 +2441,8 @@ PYTEST_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # compare at sf0.001 and sf0.01.
 EXTRA_ORACLES: dict[str, str] = {
     "patch_merge": SQL_PATCH_MERGE,
+    "session_rollup": SQL_SESSION_ROLLUP,
+    "session_ids": SQL_SESSION_IDS,
 }
 
 ORACLES: dict[str, str] = {

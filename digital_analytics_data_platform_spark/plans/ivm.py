@@ -582,6 +582,32 @@ class DistinctCountRollup:
         """Live ``(*group_cols, distinct_<value_col>)`` totals."""
         return self.outer.read(spark).withColumnRenamed("cnt", f"distinct_{self.value_col}")
 
+    def read_topk(self, spark: SparkSession, k: int = 10) -> DataFrame:
+        """Exact per-group heavy hitters, served entirely from the
+        incrementally maintained SUPPORT mart (which already holds the
+        live row count behind every (group, value) pair) — no source
+        scan, no approximation, always current as of the last sync.
+
+        Returns ``(*group_cols, <value_col>, value_rows, rank)`` with
+        ``rank`` 1..k by descending live-row count, ties broken by
+        value ascending (deterministic). Cost: one window over the
+        support mart partitioned by group — O(mart), never O(source);
+        the reference's nearest analog is the Top-N-per-group QUALIFY
+        idiom (W4) re-run against the full fact table per refresh."""
+        from pyspark.sql.window import Window
+
+        groups = self.outer.group_cols
+        sup = self.support.read(spark).select(
+            *groups, self.value_col, F.col("cnt").alias("value_rows")
+        )
+        w = Window.partitionBy(*groups).orderBy(
+            F.desc("value_rows"), F.asc(self.value_col)
+        )
+        return (
+            sup.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
 
 _FACT_CURSOR = "ivm_fact_version"
 _DIM_CURSOR = "ivm_dim_version"

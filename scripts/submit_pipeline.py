@@ -98,6 +98,18 @@ def build_parser() -> argparse.ArgumentParser:
                     help="bronze-only, with --rollup-group: additionally maintain an "
                          "exact COUNT(DISTINCT <col>) mart per rollup group "
                          "(two-level IVM; lives at <lake-dir>/rollup_distinct)")
+    ap.add_argument("--rollup-join-dim", default=None,
+                    help="bronze-only: path of an existing dimension LakeTable; maintains "
+                         "an exact delta-join rollup mart (bronze JOIN dim) at "
+                         "<lake-dir>/rollup_join, synced from BOTH tables' changelogs")
+    ap.add_argument("--rollup-join-on", default="conv_id",
+                    help="comma-separated equi-join columns for --rollup-join-dim")
+    ap.add_argument("--rollup-join-group", default=None,
+                    help="comma-separated group columns of the join rollup "
+                         "(either side of the join)")
+    ap.add_argument("--rollup-join-sum", default=None,
+                    help="comma-separated numeric columns summed in the join rollup "
+                         "(either side of the join)")
     ap.add_argument("--rollup-sync-every", type=int, default=1,
                     help="sync the rollup every N applied batches")
     ap.add_argument("--local-cores", type=int, default=None,
@@ -192,6 +204,27 @@ def main(argv: list[str] | None = None) -> dict:
                         n_buckets=args.n_buckets,
                     )
                 rollups.append(dc)
+        if args.rollup_join_dim:
+            from digital_analytics_data_platform_spark.plans import JoinRollup
+
+            split = lambda s: s.split(",") if s else []  # noqa: E731
+            if not args.rollup_join_group:
+                raise SystemExit("--rollup-join-dim requires --rollup-join-group")
+            dim = LakeTable.load(args.rollup_join_dim)
+            jr_path = f"{args.lake_dir}/rollup_join"
+            jr_kw = dict(
+                join_cols=split(args.rollup_join_on),
+                group_cols=split(args.rollup_join_group),
+                sum_cols=split(args.rollup_join_sum),
+            )
+            if LakeTable.exists(jr_path):
+                jr = JoinRollup.load(jr_path, dim, **jr_kw)
+            else:
+                jr = JoinRollup.create(
+                    jr_path, LakeTable.load(bronze_path), dim,
+                    n_buckets=args.n_buckets, **jr_kw,
+                )
+            rollups.append(jr)
         _, metrics = apply_stream(
             spark,
             source,
@@ -227,9 +260,13 @@ def main(argv: list[str] | None = None) -> dict:
             bronze = LakeTable.load(bronze_path)
             for roll in rollups:
                 roll.sync(spark, bronze)
-            out["rollup_groups"] = rollups[0].read(spark).count()
-            if args.rollup_distinct:
-                out["rollup_distinct_groups"] = rollups[-1].read(spark).count()
+            it = iter(rollups)
+            if args.rollup_group:
+                out["rollup_groups"] = next(it).read(spark).count()
+                if args.rollup_distinct:
+                    out["rollup_distinct_groups"] = next(it).read(spark).count()
+            if args.rollup_join_dim:
+                out["rollup_join_groups"] = next(it).read(spark).count()
     else:
         from digital_analytics_data_platform_spark.plans.pipeline import MedallionPipeline
 

@@ -187,3 +187,41 @@ def test_distinct_rollup_synced_inside_streaming_apply(spark, make_table, tmp_pa
     assert m.batches >= 4
     dc.sync(spark, tbl)  # drain the tail window past the last cadence tick
     assert _mart(spark, dc, ["role"], "conv_id") == _truth(spark, tbl, ["role"], "conv_id")
+
+
+def test_read_topk_heavy_hitters(spark, src_and_distinct):
+    """read_topk serves exact per-group heavy hitters straight from the
+    support mart (no source scan): top-k values by live row count,
+    ties broken by value ascending, current as of the last sync."""
+    src, dc = src_and_distinct
+    # role 'user': c0 ×3 rows, c1 ×2, c2 ×1; role 'asst': c1 ×2, c3 ×2 (tie)
+    rows = (
+        [("U", "c0", t, "user", "m", None, 1, 10 + t) for t in range(3)]
+        + [("U", "c1", t, "user", "m", None, 1, 20 + t) for t in range(2)]
+        + [("U", "c2", 0, "user", "m", None, 1, 30)]
+        + [("U", "c1", t + 10, "asst", "m", None, 1, 40 + t) for t in range(2)]
+        + [("U", "c3", t + 10, "asst", "m", None, 1, 50 + t) for t in range(2)]
+    )
+    merge_changes(spark, src, cdc_rows(spark, rows), batch_key="b1", strategy="mor")
+    dc.sync(spark, src)
+    got = {
+        (r.role, r.rank): (r.conv_id, r.value_rows)
+        for r in dc.read_topk(spark, k=2).collect()
+    }
+    assert got == {
+        ("user", 1): ("c0", 3),
+        ("user", 2): ("c1", 2),
+        ("asst", 1): ("c1", 2),  # tie with c3 → value-ascending wins
+        ("asst", 2): ("c3", 2),
+    }
+    # a delete dethrones the leader at the next sync
+    merge_changes(
+        spark,
+        src,
+        cdc_rows(spark, [("D", "c0", t, None, None, None, 2, 100 + t) for t in range(2)]),
+        batch_key="b2",
+        strategy="mor",
+    )
+    dc.sync(spark, src)
+    top1 = {r.role: r.conv_id for r in dc.read_topk(spark, k=1).collect()}
+    assert top1["user"] == "c1"

@@ -342,3 +342,68 @@ def test_join_ivm_equals_recompute_for_any_log(fact_events, dim_events, n_window
             assert _mart(spark, jr) == _recompute(spark, fact, dim)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_join_rollup_synced_inside_streaming_apply(spark, tmp_path):
+    """`apply_stream(rollups=[JoinRollup])` maintains the joined mart in
+    the streaming pass (the runner passes the streamed table as the
+    fact side; the dim is fixed at construction). After replay the mart
+    equals a full fact⋈dim recompute."""
+    from digital_analytics_data_platform_spark import datagen
+    from digital_analytics_data_platform_spark.streaming import (
+        apply_stream,
+        cdc_file_stream,
+        write_log_segments,
+    )
+
+    n = 4_000
+    log = datagen.change_log(spark, n, n_convs=60, turns_per_conv=8)
+    log_dir = str(tmp_path / "jr_cdclog")
+    write_log_segments(log, log_dir, n_segments=4)
+
+    fact = LakeTable.create(
+        str(tmp_path / "jr_stream_fact"),
+        TRANSCRIPT_SCHEMA,
+        ["conv_id", "turn_idx"],
+        ["ts", "lsn"],
+        n_buckets=8,
+    )
+    dim = LakeTable.create(
+        str(tmp_path / "jr_stream_dim"), DIM_SCHEMA, ["conv_id"], ["ts", "lsn"], n_buckets=8
+    )
+    # dim covers only half the conv namespace — unjoined facts must
+    # contribute nothing
+    merge_changes(
+        spark,
+        dim,
+        dim_rows(
+            spark,
+            [("U", f"conv_{i:08d}", f"ch{i % 3}", 0.25 * (i % 8), 0, i + 1) for i in range(0, 60, 2)],
+        ),
+        batch_key="dim-seed",
+        strategy="mor",
+    )
+    jr = JoinRollup.create(
+        str(tmp_path / "jr_stream_mart"),
+        fact,
+        dim,
+        join_cols=["conv_id"],
+        group_cols=["channel"],
+        sum_cols=["turn_idx", "weight"],
+        n_buckets=8,
+    )
+    _, m = apply_stream(
+        spark,
+        cdc_file_stream(spark, log_dir, max_files_per_trigger=1),
+        fact.path,
+        str(tmp_path / "jr_ckpt"),
+        pipeline_id="bronze",
+        strategy="mor",
+        rollups=[jr],
+        rollup_sync_every=2,
+        compact_every=2,
+    )
+    assert m.batches >= 4
+    jr.sync(spark, fact)  # drain the tail window past the last cadence tick
+    assert _mart(spark, jr) == _recompute(spark, fact, dim)
+    assert len(_mart(spark, jr)) > 0

@@ -13,12 +13,13 @@ from .transcripts import (
 )
 from .quality import run_quality_checks
 from .pipeline import MedallionPipeline, MedallionResult
-from .ivm import DistinctCountRollup, IncrementalRollup, JoinRollup
+from .ivm import DistinctCountRollup, IncrementalRollup, JoinRollup, SketchRollup
 
 __all__ = [
     "DistinctCountRollup",
     "IncrementalRollup",
     "JoinRollup",
+    "SketchRollup",
     "MedallionPipeline",
     "MedallionResult",
     "build_silver",

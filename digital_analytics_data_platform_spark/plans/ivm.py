@@ -609,6 +609,236 @@ class DistinctCountRollup:
         )
 
 
+class SketchRollup:
+    """Approximate ``COUNT(DISTINCT value)`` per group via Apache
+    DataSketches HLL, incrementally maintained — the bounded-memory
+    companion to :class:`DistinctCountRollup`: the exact rollup's
+    support mart stores one row per live (group, value) pair (exact,
+    but O(distinct pairs) storage); this stores one ~KB sketch per
+    group, the right trade once groups carry millions of distinct
+    values.
+
+    Maintenance exploits HLL's merge algebra: sketches union (register
+    max) but never subtract, so the fold splits exactly like the
+    MIN/MAX dirty-group rule in :class:`IncrementalRollup`:
+
+    - windows that only INSERT into a group fold incrementally —
+      ``hll_union(stored, hll_sketch_agg(window inserts))``, one JVM
+      agg, no source access;
+    - a group with ANY retraction (update's before-image or delete) is
+      *dirty*: its sketch is re-built from the source snapshot at the
+      window head — bucket-pruned when the group key prefixes the
+      source key and always key-semi-joined, so the recompute is
+      O(dirty groups' buckets), never O(source). (Conservative: a
+      retraction whose value survives elsewhere still marks the group
+      dirty — correctness first, cost bounded by dirty groups.)
+
+    Accuracy: exact in coupon mode (small distinct sets); in HLL mode
+    the standard bound (~1.04/√2^lg_k rsd). One honesty note, pinned by
+    test: an incrementally-unioned sketch estimates with DataSketches'
+    composite estimator (union invalidates the HIP accumulator a
+    single-pass sketch keeps), so the fold's estimate can differ from a
+    one-shot sketch of the same items by a fraction of the error bound
+    — both remain within it. Register content is item-set-determined,
+    so replay with the same window splits converges identically.
+
+    Reference analog: the same ``COUNT(DISTINCT …)`` lookback
+    recomputes as S28 — this is the path that still works when the
+    distinct set itself is too large to materialize.
+
+    Exactly-once: same contract as every rollup here — the sync cursor
+    rides the mart MERGE's atomic commit.
+    """
+
+    def __init__(self, table: LakeTable, group_cols: list[str], value_col: str, lg_k: int = 12):
+        self.table = table
+        self.group_cols = list(group_cols)
+        self.value_col = value_col
+        self.lg_k = lg_k
+
+    @staticmethod
+    def create(
+        path: str,
+        source: LakeTable,
+        group_cols: list[str],
+        value_col: str,
+        *,
+        lg_k: int = 12,
+        n_buckets: int = 16,
+    ) -> "SketchRollup":
+        src_schema = source.snapshot().schema()
+        fields = [T.StructField(g, src_schema[g].dataType) for g in group_cols]
+        fields.append(T.StructField("sketch", T.BinaryType()))
+        fields.append(T.StructField("_v", T.LongType()))
+        tbl = LakeTable.create(
+            path,
+            T.StructType(fields),
+            key_cols=list(group_cols),
+            order_cols=["_v"],
+            n_buckets=n_buckets,
+        )
+        return SketchRollup(tbl, group_cols, value_col, lg_k)
+
+    @staticmethod
+    def load(path: str, group_cols: list[str], value_col: str, lg_k: int = 12) -> "SketchRollup":
+        return SketchRollup(LakeTable.load(path), list(group_cols), value_col, lg_k)
+
+    @property
+    def tables(self) -> list[LakeTable]:
+        return [self.table]
+
+    def cursor(self) -> int:
+        return int(self.table.snapshot().props.get(_CURSOR_PROP, 0))
+
+    def sync(
+        self, spark: SparkSession, source: LakeTable, *, strategy: str = "mor"
+    ) -> dict[str, Any]:
+        since = self.cursor()
+        head = source.snapshot().version
+        if head <= since:
+            return {"skipped": True, "since": since, "head": head}
+        g0 = self.group_cols[0]
+        needed = list(dict.fromkeys([*self.group_cols, self.value_col]))
+        clog = source.read_changelog(
+            spark, since_version=since, until_version=head, columns=needed
+        )
+
+        def _side(img: str, flag: str) -> DataFrame:
+            side = F.col(img)
+            return clog.filter(side.isNotNull()).select(
+                *[side[g].alias(g) for g in self.group_cols],
+                side[self.value_col].alias(self.value_col),
+                F.lit(flag == "ins").alias("_ins"),
+            )
+
+        rows = (
+            _side("after", "ins")
+            .unionByName(_side("before", "ret"))
+            # null group key / null value contribute nothing (SQL
+            # COUNT(DISTINCT) semantics), symmetrically on both sides
+            .filter(F.col(g0).isNotNull() & F.col(self.value_col).isNotNull())
+        )
+        ins = F.col("_ins")
+        win = rows.groupBy(*self.group_cols).agg(
+            F.hll_sketch_agg(F.when(ins, F.col(self.value_col)), F.lit(self.lg_k)).alias(
+                "_win_sketch"
+            ),
+            F.max(F.when(~ins, F.lit(True))).alias("_has_ret"),
+        )
+        # a group whose window has neither inserts nor retractions of
+        # non-null values never reaches here; persist — small
+        # (O(changed groups)) but its lineage embeds the changelog read
+        win = win.withColumn("_dirty", F.coalesce(F.col("_has_ret"), F.lit(False))).persist()
+
+        snap = self.table.snapshot()
+        touched = [
+            r["b"]
+            for r in win.select(
+                F.pmod(F.xxhash64(F.col(g0)), F.lit(snap.n_buckets)).cast("int").alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        if not touched:
+            win.unpersist()
+            res = merge_changes(
+                spark,
+                self.table,
+                spark.createDataFrame([], self._batch_schema(snap)),
+                batch_key=f"ivms:{since}->{head}",
+                strategy=strategy,
+                extra_props={_CURSOR_PROP: head},
+            )
+            return {"skipped": False, "since": since, "head": head, "groups": 0, "merge": res}
+
+        cur = self.table.read(spark, buckets=touched).select(
+            *self.group_cols, F.col("sketch").alias("_cur_sketch")
+        )
+        merged = win.join(cur, on=self.group_cols, how="left")
+
+        # dirty groups: rebuild from the source snapshot at head —
+        # bucket-pruned when the group key is the source's first key
+        # column, always key-semi-joined (same tiers as the MIN/MAX
+        # dirty recompute)
+        src_snap = source.snapshot(head)
+        aligned = g0 == src_snap.key_cols[0]
+        dirty_keys = merged.filter(F.col("_dirty")).select(*self.group_cols)
+        if aligned:
+            dirty_buckets = [
+                r["b"]
+                for r in dirty_keys.select(
+                    source.bucket_expr(src_snap.n_buckets, g0).alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            has_dirty = bool(dirty_buckets)
+        else:
+            dirty_buckets = None
+            has_dirty = dirty_keys.limit(1).count() > 0
+
+        if has_dirty:
+            rec = (
+                source.read(spark, buckets=dirty_buckets, snapshot_version=head)
+                .join(F.broadcast(dirty_keys.distinct()), on=self.group_cols, how="left_semi")
+                .filter(F.col(self.value_col).isNotNull())
+                .groupBy(*self.group_cols)
+                .agg(F.hll_sketch_agg(self.value_col, F.lit(self.lg_k)).alias("_rec_sketch"))
+            )
+            merged = merged.join(rec, on=self.group_cols, how="left")
+        else:
+            merged = merged.withColumn("_rec_sketch", F.lit(None).cast("binary"))
+
+        # clean groups union stored ∪ window-inserts (hll_union is
+        # null-tolerant via coalesce on either side); dirty groups take
+        # the recompute — null recompute means the group lost its last
+        # value → tombstone
+        new_sketch = F.when(F.col("_dirty"), F.col("_rec_sketch")).otherwise(
+            F.when(
+                F.col("_cur_sketch").isNull(), F.col("_win_sketch")
+            ).when(
+                F.col("_win_sketch").isNull(), F.col("_cur_sketch")
+            ).otherwise(F.hll_union("_cur_sketch", "_win_sketch"))
+        )
+        batch = merged.select(
+            *self.group_cols,
+            new_sketch.alias("sketch"),
+            F.lit(head).cast("long").alias("_v"),
+            F.when(new_sketch.isNull(), F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        )
+        res = merge_changes(
+            spark,
+            self.table,
+            batch,
+            batch_key=f"ivms:{since}->{head}",
+            strategy=strategy,
+            extra_props={_CURSOR_PROP: head},
+        )
+        n_dirty = merged.filter(F.col("_dirty")).count()
+        win.unpersist()
+        return {
+            "skipped": bool(res.skipped),
+            "since": since,
+            "head": head,
+            "groups": res.inserts + res.updates + res.deletes + res.upserts,
+            "dirty_groups": int(n_dirty),
+            "merge": res,
+        }
+
+    def _batch_schema(self, snap) -> T.StructType:
+        fields = [f for f in snap.schema().fields if f.name != DELETED_COL]
+        return T.StructType(fields + [T.StructField("op", T.StringType())])
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Live ``(*group_cols, approx_distinct_<value_col>)``."""
+        return self.table.read(spark).select(
+            *self.group_cols,
+            F.hll_sketch_estimate("sketch")
+            .cast("long")
+            .alias(f"approx_distinct_{self.value_col}"),
+        )
+
+
 _FACT_CURSOR = "ivm_fact_version"
 _DIM_CURSOR = "ivm_dim_version"
 

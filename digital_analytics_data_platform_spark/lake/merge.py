@@ -636,6 +636,7 @@ def compact(
     all_buckets: bool = False,
     conflict_retries: int = 0,
     cluster_by: list[str] | None = None,
+    cluster_mode: str = "range",
 ) -> int:
     """Optimistic-concurrency wrapper around :func:`_compact_once`: a
     background compactor racing the foreground apply loses the commit CAS
@@ -651,7 +652,8 @@ def compact(
     while True:
         try:
             return _compact_once(
-                spark, table, write_salt=write_salt, all_buckets=all_buckets, cluster_by=cluster_by
+                spark, table, write_salt=write_salt, all_buckets=all_buckets,
+                cluster_by=cluster_by, cluster_mode=cluster_mode,
             )
         except CommitConflict:
             if attempt >= conflict_retries:
@@ -666,6 +668,7 @@ def _compact_once(
     write_salt: int = 1,
     all_buckets: bool = False,
     cluster_by: list[str] | None = None,
+    cluster_mode: str = "range",
 ) -> int:
     """Fold merge-on-read delta files down: one LWW collapse per bucket,
     rewrite as canonical files (tombstones retained — they still guard
@@ -690,7 +693,9 @@ def _compact_once(
     df = df.withColumn(
         "_bucket", F.pmod(F.xxhash64(F.col(snap.key_cols[0])), F.lit(snap.n_buckets)).cast("int")
     )
-    _, new_files = table.write_data_files(df, write_salt=write_salt, cluster_by=cluster_by)
+    _, new_files = table.write_data_files(
+        df, write_salt=write_salt, cluster_by=cluster_by, cluster_mode=cluster_mode
+    )
     remaining = {} if all_buckets else {b: n for b, n in delta.items() if int(b) not in set(scope)}
     table.commit(
         new_files=new_files,

@@ -63,6 +63,7 @@ def apply_stream(
     strategy: str = "cow",
     compact_every: int = 0,
     compact_cluster_by: list[str] | None = None,
+    compact_cluster_mode: str = "range",
     history_path: str | None = None,
     conflict_retries: int = 3,
     rollups: list | None = None,
@@ -81,7 +82,9 @@ def apply_stream(
     replays the batch and each sink independently skips or applies —
     the pair converges without cross-sink coordination.
 
-    ``compact_cluster_by``: columns to range-cluster on during the
+    ``compact_cluster_by``: columns to cluster on during the periodic
+    compact (``compact_cluster_mode="zorder"`` interleaves them — see
+    ``lake.zorder``); i.e. columns to range-cluster on during the
     periodic ``compact_every`` rewrite (see
     :func:`~..lake.merge.compact`) — a live tail that also serves
     dashboard window reads keeps its file-level ``ts`` stats tight
@@ -157,6 +160,7 @@ def apply_stream(
                 table,
                 write_salt=write_salt,
                 cluster_by=compact_cluster_by,
+                cluster_mode=compact_cluster_mode,
                 conflict_retries=conflict_retries,
             )
             # fold the rollup marts' MOR versions on the same cadence —

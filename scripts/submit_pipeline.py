@@ -55,8 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--compact-every", type=int, default=0,
                     help="bronze-only: fold MOR deltas every N batches")
     ap.add_argument("--compact-cluster-by", default=None,
-                    help="comma-separated columns to range-cluster on during the "
+                    help="comma-separated columns to cluster on during the "
                          "periodic compact (e.g. 'ts' for window-read pruning)")
+    ap.add_argument("--compact-cluster-mode", default="range", choices=["range", "zorder"],
+                    help="lexicographic range clustering or Morton-interleaved z-order "
+                         "(multi-dimensional pruning; needs >= 2 cluster columns)")
     ap.add_argument("--trigger", default="available-now",
                     help="'available-now' (bounded replay) or a processingTime "
                          "interval like '30 seconds' (live tail)")
@@ -238,6 +241,7 @@ def main(argv: list[str] | None = None) -> dict:
             compact_cluster_by=(
                 args.compact_cluster_by.split(",") if args.compact_cluster_by else None
             ),
+            compact_cluster_mode=args.compact_cluster_mode,
             rollups=rollups,
             rollup_sync_every=args.rollup_sync_every,
             # block in BOTH trigger modes: a processingTime tail that

@@ -637,6 +637,7 @@ def compact(
     conflict_retries: int = 0,
     cluster_by: list[str] | None = None,
     cluster_mode: str = "range",
+    buckets: list[int] | None = None,
 ) -> int:
     """Optimistic-concurrency wrapper around :func:`_compact_once`: a
     background compactor racing the foreground apply loses the commit CAS
@@ -653,7 +654,7 @@ def compact(
         try:
             return _compact_once(
                 spark, table, write_salt=write_salt, all_buckets=all_buckets,
-                cluster_by=cluster_by, cluster_mode=cluster_mode,
+                cluster_by=cluster_by, cluster_mode=cluster_mode, buckets=buckets,
             )
         except CommitConflict:
             if attempt >= conflict_retries:
@@ -669,6 +670,7 @@ def _compact_once(
     all_buckets: bool = False,
     cluster_by: list[str] | None = None,
     cluster_mode: str = "range",
+    buckets: list[int] | None = None,
 ) -> int:
     """Fold merge-on-read delta files down: one LWW collapse per bucket,
     rewrite as canonical files (tombstones retained — they still guard
@@ -679,6 +681,11 @@ def _compact_once(
     Scope is the buckets that actually carry deltas (the snapshot's
     ``delta_buckets`` bookkeeping) — at 100 TB a compaction must not
     rewrite the 90% of the table untouched since the last one.
+    ``buckets`` narrows the scope further (intersected with the delta'd
+    set) — the per-bucket trigger granularity: the runner's
+    ``compact_tail_files_over`` compacts ONLY the buckets whose delta
+    tail crossed the threshold, so hot buckets fold often and cold ones
+    are never rewritten (Paimon/Hudi num-delta-commits trigger shape).
     ``all_buckets=True`` forces the full rewrite (defragmentation).
     Returns rows written (0 = nothing to fold)."""
     snap = table.snapshot()
@@ -687,6 +694,8 @@ def _compact_once(
         scope = list(range(snap.n_buckets))
     else:
         scope = sorted(int(b) for b in delta)
+        if buckets is not None:
+            scope = sorted(set(scope) & {int(b) for b in buckets})
         if not scope:
             return 0
     df = table.read(spark, buckets=scope, include_deleted=True)  # collapse auto-applies

@@ -1189,7 +1189,9 @@ class LakeTable:
                     raise
                 attempt += 1
 
-    def expire_snapshots(self, *, keep_last: int = 10) -> dict[str, int]:
+    def expire_snapshots(
+        self, *, keep_last: int = 10, protect_versions_since: int | None = None
+    ) -> dict[str, int]:
         """Iceberg ``expire_snapshots`` analog: drop manifests older than
         the newest ``keep_last`` versions and physically delete data
         files referenced ONLY by expired snapshots (files a later commit
@@ -1197,6 +1199,16 @@ class LakeTable:
         travel remains valid for every retained version; reads of expired
         versions fail loudly (missing manifest), never silently read
         half-vacuumed state.
+
+        ``protect_versions_since``: additionally retain EVERY version
+        ``>= protect_versions_since`` regardless of ``keep_last`` — the
+        incremental-consumer retention floor. A changelog consumer
+        (:meth:`read_changes` / :meth:`read_changelog` — IVM rollups,
+        CDC relays) diffs manifests from its cursor version forward, so
+        expiring the cursor's snapshot breaks the consumer's next sync
+        (Iceberg documents the same hazard for its CDC/incremental
+        reads). Callers pass the min cursor across registered consumers;
+        the streaming runner does this automatically for its rollups.
 
         Pure manifest-set arithmetic on the driver — no Spark job; the
         manifest lists are O(files), not O(rows). Returns counts
@@ -1207,6 +1219,8 @@ class LakeTable:
         cur = self.snapshot().version
         keep = {v for v in versions if v > cur - keep_last} | {cur}
         keep |= {v for v in self.tags().values() if v in set(versions)}
+        if protect_versions_since is not None:
+            keep |= {v for v in versions if v >= protect_versions_since}
         expired = [v for v in versions if v not in keep]
         live: set[str] = set()
         for v in keep:

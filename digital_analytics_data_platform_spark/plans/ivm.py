@@ -151,6 +151,19 @@ class IncrementalRollup:
     def cursor(self) -> int:
         return int(self.table.snapshot().props.get(_CURSOR_PROP, 0))
 
+    def source_cursor(self) -> int:
+        """Oldest SOURCE snapshot version this rollup still needs: the
+        next sync reads the changelog ``since_version=cursor()``, so the
+        source's :meth:`~..lake.table.LakeTable.expire_snapshots` must
+        retain every version ``>= source_cursor()`` (the runner passes
+        the min across its rollups as ``protect_versions_since``)."""
+        return self.cursor()
+
+    def expire(self, *, keep_last: int = 10) -> dict[str, int]:
+        """Expire this rollup's own mart snapshots. The mart has no
+        internal changelog consumer, so plain ``keep_last`` suffices."""
+        return self.table.expire_snapshots(keep_last=keep_last)
+
     def sync(
         self, spark: SparkSession, source: LakeTable, *, strategy: str = "mor"
     ) -> dict[str, Any]:
@@ -568,6 +581,23 @@ class DistinctCountRollup:
         """Both levels' marts — see :attr:`IncrementalRollup.tables`."""
         return [self.support.table, self.outer.table]
 
+    def source_cursor(self) -> int:
+        """Oldest SOURCE version still needed = the inner support
+        level's cursor (the outer level consumes the support mart's
+        changelog, not the source's)."""
+        return self.support.cursor()
+
+    def expire(self, *, keep_last: int = 10) -> dict[str, int]:
+        """Expire both marts' snapshots — with the composition-aware
+        floor: the SUPPORT mart's changelog is consumed by the outer
+        level, so its expiry protects every version >= the outer's
+        cursor; the outer mart has no internal consumer."""
+        r_support = self.support.table.expire_snapshots(
+            keep_last=keep_last, protect_versions_since=self.outer.cursor()
+        )
+        r_outer = self.outer.table.expire_snapshots(keep_last=keep_last)
+        return {k: r_support[k] + r_outer[k] for k in r_support}
+
     def sync(self, spark: SparkSession, source: LakeTable, *, strategy: str = "mor") -> dict[str, Any]:
         r_support = self.support.sync(spark, source, strategy=strategy)
         r_outer = self.outer.sync(spark, self.support.table, strategy=strategy)
@@ -689,6 +719,14 @@ class SketchRollup:
 
     def cursor(self) -> int:
         return int(self.table.snapshot().props.get(_CURSOR_PROP, 0))
+
+    def source_cursor(self) -> int:
+        """See :meth:`IncrementalRollup.source_cursor`."""
+        return self.cursor()
+
+    def expire(self, *, keep_last: int = 10) -> dict[str, int]:
+        """See :meth:`IncrementalRollup.expire`."""
+        return self.table.expire_snapshots(keep_last=keep_last)
 
     def sync(
         self, spark: SparkSession, source: LakeTable, *, strategy: str = "mor"
@@ -1017,6 +1055,21 @@ class JoinRollup:
     def cursors(self) -> tuple[int, int]:
         props = self.table.snapshot().props
         return int(props.get(_FACT_CURSOR, 0)), int(props.get(_DIM_CURSOR, 0))
+
+    def source_cursor(self) -> int:
+        """Oldest FACT version still needed (the runner streams into the
+        fact table; the dim's retention floor is :meth:`dim_cursor` for
+        callers that also maintain/expire the dim)."""
+        return self.cursors()[0]
+
+    def dim_cursor(self) -> int:
+        """Oldest DIM version still needed by the next sync."""
+        return self.cursors()[1]
+
+    def expire(self, *, keep_last: int = 10) -> dict[str, int]:
+        """See :meth:`IncrementalRollup.expire` (the dim is read-only
+        here — its owner expires it with ``dim_cursor()`` as the floor)."""
+        return self.table.expire_snapshots(keep_last=keep_last)
 
     def _signed_images(self, clog: DataFrame, cols: list[str]) -> DataFrame:
         """Flatten an image changelog into signed rows: +1 per after

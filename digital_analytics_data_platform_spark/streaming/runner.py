@@ -42,6 +42,12 @@ class StreamMetrics:
     upserts: int = 0
     skipped_batches: int = 0
     wall_s: float = 0.0
+    # scheduled-maintenance telemetry (expire_every cadence)
+    expired_snapshots: int = 0
+    gc_deleted_files: int = 0
+    gc_freed_bytes: int = 0
+    # need-based compactions triggered by compact_tail_files_over
+    adaptive_compactions: int = 0
 
     @property
     def events_per_sec(self) -> float:
@@ -64,6 +70,9 @@ def apply_stream(
     compact_every: int = 0,
     compact_cluster_by: list[str] | None = None,
     compact_cluster_mode: str = "range",
+    compact_tail_files_over: int = 0,
+    expire_every: int = 0,
+    expire_keep_last: int = 10,
     history_path: str | None = None,
     conflict_retries: int = 3,
     rollups: list | None = None,
@@ -89,6 +98,33 @@ def apply_stream(
     :func:`~..lake.merge.compact`) — a live tail that also serves
     dashboard window reads keeps its file-level ``ts`` stats tight
     without a separate maintenance job.
+
+    ``compact_tail_files_over``: need-based compaction trigger (the
+    Paimon/Hudi num-delta-commits shape), complementing the fixed
+    ``compact_every`` cadence: after each applied batch, any bucket
+    whose MOR delta tail has reached N delta commits is folded —
+    ONLY those buckets, so a Zipf-hot conversation's bucket compacts
+    often while the cold 90% of a 100 TB table is never rewritten, and
+    per-bucket read amplification is bounded by N regardless of how
+    skewed the feed is. Driver-side check on the snapshot's
+    ``delta_buckets`` bookkeeping — no Spark job unless a bucket
+    actually crossed the threshold.
+
+    ``expire_every``: every N applied batches, run snapshot expiry +
+    physical GC on every table this stream maintains (the main table,
+    the SCD2 history, each rollup's marts) so a long-lived stream's
+    metadata and replaced-file footprint stay bounded — without it,
+    one manifest per commit accumulates forever (each O(live files)).
+    The main table's expiry automatically protects every snapshot any
+    registered rollup's NEXT sync still needs
+    (``protect_versions_since = min(rollup source cursors)``) — the
+    Iceberg expire-breaks-CDC-consumers hazard handled by construction;
+    composed rollups guard their internal changelog consumers the same
+    way (``DistinctCountRollup.expire``). Tagged snapshots (e.g. WAP's
+    ``published``) always survive. External consumers the runner cannot
+    see (a CDC relay tailing this table) must either keep their lag
+    under ``expire_keep_last`` commits or be expired manually with
+    their cursor as the floor.
 
     ``conflict_retries``: optimistic-concurrency budget passed through to
     :func:`merge_changes` / :func:`compact` — a concurrent writer on the
@@ -169,9 +205,44 @@ def apply_stream(
             for roll in rollups or []:
                 for mart in roll.tables:
                     compact(spark, mart, write_salt=write_salt, conflict_retries=conflict_retries)
+        if compact_tail_files_over and not res.skipped:
+            tail = table.snapshot().props.get("delta_buckets", {})
+            hot = [int(b) for b, n in tail.items() if int(n) >= compact_tail_files_over]
+            if hot:
+                compact(
+                    spark,
+                    table,
+                    write_salt=write_salt,
+                    cluster_by=compact_cluster_by,
+                    cluster_mode=compact_cluster_mode,
+                    conflict_retries=conflict_retries,
+                    buckets=hot,
+                )
+                metrics.adaptive_compactions += 1
         if rollups and not res.skipped and metrics.batches % max(rollup_sync_every, 1) == 0:
             for roll in rollups:
                 roll.sync(spark, table)
+        if expire_every and not res.skipped and metrics.batches % expire_every == 0:
+            # retention floor: the oldest source snapshot any rollup's
+            # next sync reads its changelog from (fresh — syncs above
+            # just ran); None (no rollups) means keep_last alone rules
+            floors = [r.source_cursor() for r in rollups or [] if hasattr(r, "source_cursor")]
+            r_exp = table.expire_snapshots(
+                keep_last=expire_keep_last,
+                protect_versions_since=min(floors) if floors else None,
+            )
+            for roll in rollups or []:
+                if hasattr(roll, "expire"):
+                    sub = roll.expire(keep_last=expire_keep_last)
+                    for k in ("expired_snapshots", "deleted_files", "freed_bytes"):
+                        r_exp[k] += sub[k]
+            if scd2 is not None:
+                sub = scd2.table.expire_snapshots(keep_last=expire_keep_last)
+                for k in ("expired_snapshots", "deleted_files", "freed_bytes"):
+                    r_exp[k] += sub[k]
+            metrics.expired_snapshots += r_exp["expired_snapshots"]
+            metrics.gc_deleted_files += r_exp["deleted_files"]
+            metrics.gc_freed_bytes += r_exp["freed_bytes"]
         rec = {"pipeline_id": pipeline_id, "batch_id": batch_id, **asdict(res)}
         with open(os.path.join(metrics_path, f"{pipeline_id}_batch_{batch_id:09d}.json"), "w") as f:
             json.dump(rec, f)

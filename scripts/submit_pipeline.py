@@ -60,6 +60,14 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--compact-cluster-mode", default="range", choices=["range", "zorder"],
                     help="lexicographic range clustering or Morton-interleaved z-order "
                          "(multi-dimensional pruning; needs >= 2 cluster columns)")
+    ap.add_argument("--compact-tail-over", type=int, default=0,
+                    help="bronze-only: need-based trigger — fold any bucket whose MOR "
+                         "delta tail reaches N delta commits (only those buckets rewritten)")
+    ap.add_argument("--expire-every", type=int, default=0,
+                    help="bronze-only: run snapshot expiry + GC on every maintained "
+                         "table every N batches (rollup changelog cursors auto-protected)")
+    ap.add_argument("--expire-keep-last", type=int, default=10,
+                    help="snapshot versions to retain per table at each expiry")
     ap.add_argument("--trigger", default="available-now",
                     help="'available-now' (bounded replay) or a processingTime "
                          "interval like '30 seconds' (live tail)")
@@ -242,6 +250,9 @@ def main(argv: list[str] | None = None) -> dict:
                 args.compact_cluster_by.split(",") if args.compact_cluster_by else None
             ),
             compact_cluster_mode=args.compact_cluster_mode,
+            compact_tail_files_over=args.compact_tail_over,
+            expire_every=args.expire_every,
+            expire_keep_last=args.expire_keep_last,
             rollups=rollups,
             rollup_sync_every=args.rollup_sync_every,
             # block in BOTH trigger modes: a processingTime tail that
@@ -258,6 +269,10 @@ def main(argv: list[str] | None = None) -> dict:
             "wall_s": round(metrics.wall_s, 3),
             "events_per_sec": round(metrics.events_per_sec, 1),
         }
+        if args.expire_every:
+            out["expired_snapshots"] = metrics.expired_snapshots
+            out["gc_deleted_files"] = metrics.gc_deleted_files
+            out["gc_freed_bytes"] = metrics.gc_freed_bytes
         if rollups:
             # drain the tail window past the last cadence tick, then
             # report mart size as the run's rollup evidence

@@ -473,3 +473,157 @@ def test_time_travel_version_at_and_as_of_read(spark, make_table):
         json.dump(d, f)
     os.utime(p, (mtime, mtime))
     assert tbl.version_at(instants[0]) == v
+
+
+# ---- consumer-protected expiry + scheduled maintenance in the runner ----
+
+
+def test_expire_protect_versions_since_floor(spark, make_table):
+    """protect_versions_since retains every snapshot an incremental
+    consumer still needs; without it the same keep_last breaks the
+    consumer's next changelog read loudly (never silently)."""
+    import pytest
+
+    tbl = make_table()
+    for i in range(5):
+        _apply(spark, tbl, [("I", f"c{i}", 0, "user", f"t{i}", None, 10 + i, i + 1)], f"b{i}")
+    versions = tbl.list_snapshots()
+    cursor = versions[1]  # a consumer parked two commits back
+
+    stats = tbl.expire_snapshots(keep_last=1, protect_versions_since=cursor)
+    kept = tbl.list_snapshots()
+    assert kept == [v for v in versions if v >= cursor]
+    assert stats["expired_snapshots"] == len(versions) - len(kept)
+    # the consumer's incremental read still works after expiry
+    delta = tbl.read_changelog(spark, since_version=cursor)
+    assert delta.count() > 0
+
+    # drop the floor: keep_last=1 expires the cursor's manifest and the
+    # consumer fails loudly (missing manifest), not with silent data loss
+    tbl.expire_snapshots(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        tbl.read_changelog(spark, since_version=cursor).count()
+
+
+def test_stream_expire_bounds_manifests_and_preserves_state(spark, make_table, tmp_path):
+    """apply_stream(expire_every=…) keeps a long-lived stream's manifest
+    count bounded while final state, exactly-once replay, and tagged
+    snapshots all survive."""
+    from digital_analytics_data_platform_spark import datagen
+    from digital_analytics_data_platform_spark.streaming import (
+        apply_stream,
+        cdc_file_stream,
+        write_log_segments,
+    )
+    from tests.conftest import assert_state_equal, oracle_state
+
+    log = datagen.change_log(spark, 4_000, n_convs=60, turns_per_conv=8)
+    log_dir = str(tmp_path / "cdclog")
+    write_log_segments(log, log_dir, n_segments=8)
+
+    tbl = make_table()
+    tbl.set_tag("genesis", 0)  # tag must pin its manifest through expiry
+    src = cdc_file_stream(spark, log_dir, max_files_per_trigger=1)
+    _, m = apply_stream(
+        spark, src, tbl.path, str(tmp_path / "ckpt"), pipeline_id="bronze",
+        strategy="mor", compact_every=4, expire_every=2, expire_keep_last=2,
+    )
+    assert m.batches >= 8
+    assert m.expired_snapshots > 0 and m.gc_deleted_files > 0
+
+    # manifests bounded: newest keep_last + the tagged genesis manifest
+    kept = tbl.list_snapshots()
+    assert len(kept) <= 2 + 1
+    assert 0 in kept  # tag survived every expiry round
+
+    got = tbl.read(spark).orderBy("conv_id", "turn_idx").toPandas()
+    assert_state_equal(got, oracle_state(log.toPandas()))
+
+    # exactly-once replay unaffected: ledger lives in the CURRENT
+    # snapshot's props, which expiry never drops
+    src2 = cdc_file_stream(spark, log_dir)
+    _, m2 = apply_stream(spark, src2, tbl.path, str(tmp_path / "ckpt"), pipeline_id="bronze")
+    assert m2.events == 0
+
+
+def test_stream_expire_protects_rollup_cursor(spark, make_table, tmp_path):
+    """With an IVM rollup attached and a sync cadence SLOWER than the
+    expiry cadence, the runner's protection floor keeps every source
+    snapshot the rollup's next sync reads — aggressive keep_last=1
+    cannot break the sync, and the mart stays exactly equal to a
+    recompute."""
+    from digital_analytics_data_platform_spark import datagen
+    from digital_analytics_data_platform_spark.plans.ivm import IncrementalRollup
+    from digital_analytics_data_platform_spark.streaming import (
+        apply_stream,
+        cdc_file_stream,
+        write_log_segments,
+    )
+
+    log = datagen.change_log(spark, 3_000, n_convs=50, turns_per_conv=8)
+    log_dir = str(tmp_path / "cdclog")
+    write_log_segments(log, log_dir, n_segments=6)
+
+    tbl = make_table()
+    roll = IncrementalRollup.create(
+        str(tmp_path / "mart"), tbl, ["role"], ["turn_idx"], n_buckets=4
+    )
+    src = cdc_file_stream(spark, log_dir, max_files_per_trigger=1)
+    _, m = apply_stream(
+        spark, src, tbl.path, str(tmp_path / "ckpt"), pipeline_id="bronze",
+        strategy="mor", rollups=[roll], rollup_sync_every=3,
+        expire_every=1, expire_keep_last=1,
+    )
+    assert m.batches >= 6
+    assert m.expired_snapshots > 0  # expiry really ran between syncs
+
+    # mart ≡ recompute: the cursor's snapshots were never expired away
+    roll.sync(spark, tbl)  # drain any tail window
+    got = {
+        (r.role,): (r.cnt, round(r.sum_turn_idx, 6)) for r in roll.read(spark).collect()
+    }
+    want = {
+        (r.role,): (r.cnt, round(r.sum_turn_idx, 6))
+        for r in tbl.read(spark)
+        .groupBy("role")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("turn_idx").cast("double")).alias("sum_turn_idx"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_distinct_rollup_expire_protects_support_changelog(spark, make_table, tmp_path):
+    """DistinctCountRollup.expire guards its INTERNAL consumer: the
+    outer level tails the support mart's changelog, so support-mart
+    expiry floors at the outer cursor even at keep_last=1."""
+    from digital_analytics_data_platform_spark.plans.ivm import DistinctCountRollup
+
+    tbl = make_table()
+    roll = DistinctCountRollup.create(
+        str(tmp_path / "dmart"), tbl, ["role"], "conv_id", n_buckets=4
+    )
+    _apply(spark, tbl, [("I", "c1", 0, "user", "a", None, 10, 1)], "b1")
+    roll.sync(spark, tbl)
+    # advance ONLY the support level through several source commits so
+    # the outer's cursor lags several support-mart versions behind
+    for i in range(3):
+        _apply(spark, tbl, [("I", f"x{i}", 0, "user", "a", None, 20 + i, 2 + i)], f"s{i}")
+        roll.support.sync(spark, tbl)
+    assert roll.support.table.snapshot().version > roll.outer.cursor()
+
+    stats = roll.expire(keep_last=1)
+    assert stats["expired_snapshots"] > 0
+    # support versions >= outer cursor all survive
+    assert min(roll.support.table.list_snapshots()) <= roll.outer.cursor()
+
+    # the lagging outer level catches up exactly
+    roll.outer.sync(spark, roll.support.table)
+    got = {r.role: r[f"distinct_conv_id"] for r in roll.read(spark).collect()}
+    want = {
+        r.role: r.d
+        for r in tbl.read(spark).groupBy("role").agg(F.countDistinct("conv_id").alias("d")).collect()
+    }
+    assert got == want

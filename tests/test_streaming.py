@@ -376,3 +376,72 @@ def test_streaming_periodic_compact_clusters(spark, make_table, tmp_path):
     got = pruned.filter((F.col("ts") >= lo) & (F.col("ts") <= mid)).count()
     full = tbl.read(spark).filter((F.col("ts") >= lo) & (F.col("ts") <= mid)).count()
     assert got == full > 0
+
+
+def test_adaptive_compaction_folds_only_hot_buckets(spark, make_table, tmp_path, monkeypatch):
+    """compact_tail_files_over: a bucket is folded exactly when its MOR
+    delta tail reaches the threshold, and ONLY that bucket is rewritten
+    — a Zipf-hot conversation's bucket compacts twice in six batches
+    while every cold bucket is never touched (read amplification
+    bounded per bucket, compaction I/O proportional to churn)."""
+    import digital_analytics_data_platform_spark.streaming.runner as runner_mod
+    from tests.conftest import cdc_rows
+
+    tbl = make_table(n_buckets=32)
+    # pick cold conversations landing in pairwise-distinct buckets that
+    # all differ from the hot conversation's bucket
+    cands = ["hotconv"] + [f"cold{i}" for i in range(40)]
+    bk = {
+        r["conv_id"]: r["b"]
+        for r in spark.createDataFrame([(c,) for c in cands], "conv_id string")
+        .select("conv_id", tbl.bucket_expr(32, "conv_id").alias("b"))
+        .collect()
+    }
+    hot_b = bk["hotconv"]
+    colds, seen = [], {hot_b}
+    for c in cands[1:]:
+        if bk[c] not in seen:
+            colds.append(c)
+            seen.add(bk[c])
+        if len(colds) == 6:
+            break
+
+    rows = []
+    for i, cold in enumerate(colds):
+        rows.append(("I", "hotconv", i, "user", f"h{i}", None, 100 + i, i * 10))
+        rows.append(("I", cold, 0, "user", "c", None, 100 + i, i * 10 + 1))
+    log_dir = str(tmp_path / "cdclog")
+    from digital_analytics_data_platform_spark.streaming import (
+        apply_stream,
+        cdc_file_stream,
+        write_log_segments,
+    )
+
+    segs = write_log_segments(cdc_rows(spark, rows), log_dir, n_segments=6)
+    assert len(segs) == 6
+
+    calls = []
+    real_compact = runner_mod.compact
+
+    def recording_compact(spark_, table_, **kw):
+        calls.append(sorted(kw.get("buckets") or []))
+        return real_compact(spark_, table_, **kw)
+
+    monkeypatch.setattr(runner_mod, "compact", recording_compact)
+    src = cdc_file_stream(spark, log_dir, max_files_per_trigger=1)
+    _, m = apply_stream(
+        spark, src, tbl.path, str(tmp_path / "ckpt"), pipeline_id="bronze",
+        strategy="mor", compact_tail_files_over=3,
+    )
+    assert m.batches == 6
+    # hot bucket tail: 1,2,3→fold, 1,2,3→fold — exactly two triggers,
+    # each scoped to the hot bucket alone
+    assert m.adaptive_compactions == 2
+    assert calls == [[hot_b], [hot_b]]
+    # every bucket's residual tail is under the threshold
+    tail = tbl.snapshot().props.get("delta_buckets", {})
+    assert all(int(n) < 3 for n in tail.values())
+    assert int(tail.get(str(hot_b), 0)) == 0  # just folded at batch 6
+    # state intact: 6 hot turns + 6 cold convs
+    got = {(r["conv_id"], r["turn_idx"]) for r in tbl.read(spark).collect()}
+    assert got == {("hotconv", i) for i in range(6)} | {(c, 0) for c in colds}

@@ -24,6 +24,7 @@ from .merge import (
     merge_changes,
     compact,
     expire_tombstones,
+    retention_truncate,
     reconcile_backfill,
     replace_full,
     rescale_buckets,
@@ -42,6 +43,7 @@ __all__ = [
     "merge_changes",
     "compact",
     "expire_tombstones",
+    "retention_truncate",
     "reconcile_backfill",
     "replace_full",
     "rescale_buckets",

@@ -1083,3 +1083,112 @@ def _expire_tombstones_once(spark: SparkSession, table: LakeTable, *, older_than
         props_update={"tombstone_watermark_lsn": older_than_lsn, "delta_buckets": {}},
     )
     return sum(f["rows"] for f in new_files)
+
+
+def retention_truncate(
+    spark: SparkSession,
+    table: LakeTable,
+    older_than,
+    *,
+    ts_col: str | None = None,
+    write_salt: int = 1,
+    conflict_retries: int = 0,
+) -> dict:
+    """OCC wrapper around :func:`_retention_truncate_once` (same retry
+    contract as :func:`compact`)."""
+    attempt = 0
+    while True:
+        try:
+            return _retention_truncate_once(
+                spark, table, older_than, ts_col=ts_col, write_salt=write_salt
+            )
+        except CommitConflict:
+            if attempt >= conflict_retries:
+                raise
+            attempt += 1
+
+
+def _retention_truncate_once(
+    spark: SparkSession,
+    table: LakeTable,
+    older_than,
+    *,
+    ts_col: str | None = None,
+    write_salt: int = 1,
+) -> dict:
+    """Retention sweep: drop every row with ``ts_col < older_than`` —
+    the TTL/data-retention maintenance a transcript lake legally needs
+    at 10^10-event scale — doing as much of it as possible by METADATA
+    ALONE. Files whose ``max_{ts_col}`` stat is already below the
+    cutoff are removed from the manifest without being read (the
+    Iceberg metadata-delete shape: on a ``cluster_by=[ts]``-compacted
+    table that is almost every expired file); only files STRADDLING the
+    cutoff are read-filtered-rewritten, scoped to exactly those files,
+    never whole buckets. Stats-missing files are conservatively treated
+    as straddling. Null timestamps are retained (no age ⇒ no expiry),
+    matching SQL predicate semantics.
+
+    LWW-safe by construction: the sweep only removes rows with
+    ``ts < cutoff``, and a removed row can only ever LOSE last-writer-
+    wins against any surviving version of its key (order leads with
+    ``ts``) — so no surviving key's resolution changes, and a key whose
+    every version is expired disappears entirely (the intended
+    retention delete). Physical bytes are reclaimed when
+    ``expire_snapshots`` ages out the pre-sweep snapshots.
+
+    Two documented eventual-consistency edges, both standard for
+    retention: a pre-cutoff event arriving AFTER the sweep re-inserts
+    until the next sweep removes it (late-data horizon), and the sweep
+    is not CDC-visible — a removal-only commit adds no files, so
+    :meth:`read_changes` emits nothing for it (downstream mirrors
+    enforce their own retention policy; same contract as tombstone
+    expiry vs changelog consumers).
+
+    Returns ``{"files_dropped", "files_rewritten", "rows_dropped",
+    "rows_rewritten", "version"}``; metadata-only when
+    ``files_rewritten == 0`` (no Spark job at all)."""
+    snap = table.snapshot()
+    tcol = ts_col or snap.order_cols[0]
+    cutoff_stat = older_than.isoformat() if hasattr(older_than, "isoformat") else older_than
+    whole, straddling = [], []
+    for f in snap.files:
+        mx, mn = f.get(f"max_{tcol}"), f.get(f"min_{tcol}")
+        if mx is not None and mx < cutoff_stat:
+            whole.append(f)
+        elif mn is None or mn < cutoff_stat:
+            straddling.append(f)
+    if not whole and not straddling:
+        return {
+            "files_dropped": 0, "files_rewritten": 0, "rows_dropped": 0,
+            "rows_rewritten": 0, "version": snap.version,
+        }
+    new_files: list[dict] = []
+    rewritten_rows = 0
+    if straddling:
+        df = spark.read.schema(snap.schema()).parquet(
+            *[os.path.join(table.path, f["path"]) for f in straddling]
+        )
+        keep = df.filter(F.col(tcol).isNull() | (F.col(tcol) >= F.lit(older_than)))
+        keep = keep.withColumn(
+            "_bucket", F.pmod(F.xxhash64(F.col(snap.key_cols[0])), F.lit(snap.n_buckets)).cast("int")
+        )
+        _, new_files = table.write_data_files(keep, write_salt=write_salt)
+        rewritten_rows = sum(f["rows"] for f in new_files)
+    removed = [f["path"] for f in whole] + [f["path"] for f in straddling]
+    out = table.commit(
+        new_files=new_files,
+        removed_files=removed,
+        expected_version=snap.version,
+    )
+    dropped = (
+        sum(int(f.get("rows") or 0) for f in whole)
+        + sum(int(f.get("rows") or 0) for f in straddling)
+        - rewritten_rows
+    )
+    return {
+        "files_dropped": len(whole),
+        "files_rewritten": len(straddling),
+        "rows_dropped": dropped,
+        "rows_rewritten": rewritten_rows,
+        "version": out.version,
+    }

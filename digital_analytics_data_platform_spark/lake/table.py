@@ -589,6 +589,7 @@ class LakeTable:
         *,
         new_files: list[dict[str, Any]],
         replaced_buckets: Iterable[int] = (),
+        removed_files: Iterable[str] = (),
         expected_version: int | None = None,
         schema: T.StructType | None = None,
         props_update: dict[str, Any] | None = None,
@@ -598,6 +599,10 @@ class LakeTable:
         """Publish a new snapshot: carry over files outside
         ``replaced_buckets``, add ``new_files``, optionally evolve the
         schema and update properties. Atomic via manifest rename.
+        ``removed_files`` drops individual files by manifest path —
+        file-granular removal for metadata-only deletes (retention
+        truncation of wholly-expired files; the Iceberg DELETE-by-
+        metadata shape) where bucket granularity would force rewrites.
         ``n_buckets`` changes the table's bucket count (partition-spec
         evolution) — only valid on a full-rewrite commit where
         ``replaced_buckets`` covers every carried file, since old files'
@@ -606,7 +611,10 @@ class LakeTable:
         if expected_version is not None and cur.version != expected_version:
             raise CommitConflict(f"expected v{expected_version}, table at v{cur.version}")
         replaced = set(replaced_buckets)
-        carried = [f for f in cur.files if f["bucket"] not in replaced]
+        removed = set(removed_files)
+        carried = [
+            f for f in cur.files if f["bucket"] not in replaced and f["path"] not in removed
+        ]
         if n_buckets is not None and n_buckets != cur.n_buckets and carried:
             raise ValueError("n_buckets change requires a full rewrite (files carried across specs)")
         props = dict(cur.props)

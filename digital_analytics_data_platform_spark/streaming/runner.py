@@ -24,7 +24,7 @@ from dataclasses import asdict, dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..lake.merge import compact, merge_changes
+from ..lake.merge import compact, merge_changes, retention_truncate
 from ..lake.table import LakeTable
 
 
@@ -48,6 +48,9 @@ class StreamMetrics:
     gc_freed_bytes: int = 0
     # need-based compactions triggered by compact_tail_files_over
     adaptive_compactions: int = 0
+    # rolling-TTL sweeps (retention_every cadence)
+    retention_rows_dropped: int = 0
+    retention_files_dropped: int = 0
 
     @property
     def events_per_sec(self) -> float:
@@ -73,6 +76,8 @@ def apply_stream(
     compact_tail_files_over: int = 0,
     expire_every: int = 0,
     expire_keep_last: int = 10,
+    retention_every: int = 0,
+    retention_age_seconds: float | None = None,
     history_path: str | None = None,
     conflict_retries: int = 3,
     rollups: list | None = None,
@@ -110,6 +115,14 @@ def apply_stream(
     ``delta_buckets`` bookkeeping — no Spark job unless a bucket
     actually crossed the threshold.
 
+    ``retention_every`` + ``retention_age_seconds``: every N applied
+    batches, run :func:`~..lake.merge.retention_truncate` with cutoff =
+    (newest ``ts`` stat across the table's files) −
+    ``retention_age_seconds`` — the rolling TTL a transcript lake
+    enforces. Metadata-first: on a ts-clustered table almost every
+    expired file leaves the manifest unread; physical reclaim follows
+    via the ``expire_every`` cadence.
+
     ``expire_every``: every N applied batches, run snapshot expiry +
     physical GC on every table this stream maintains (the main table,
     the SCD2 history, each rollup's marts) so a long-lived stream's
@@ -140,6 +153,16 @@ def apply_stream(
     O(changed groups) per sync. Each rollup's cursor rides its own
     atomic mart commit, so a crash between the apply and a sync just
     means the next sync covers a wider window — never drift."""
+    if retention_every and rollups:
+        # retention removals are NOT changelog-visible (a removal-only
+        # commit adds no files), so an IVM mart syncing past a sweep
+        # would keep contributions its source no longer holds — refuse
+        # loudly rather than silently break the mart≡recompute invariant
+        raise ValueError(
+            "retention_every cannot be combined with rollups: retention sweeps are "
+            "not changelog-visible and would silently drift the IVM marts; enforce "
+            "retention on the marts' own serving queries instead"
+        )
     table = LakeTable.load(table_path)
     scd2 = None
     if history_path is not None:
@@ -222,6 +245,26 @@ def apply_stream(
         if rollups and not res.skipped and metrics.batches % max(rollup_sync_every, 1) == 0:
             for roll in rollups:
                 roll.sync(spark, table)
+        if retention_every and not res.skipped and metrics.batches % retention_every == 0:
+            snap = table.snapshot()
+            tcol = snap.order_cols[0]
+            # rolling cutoff = newest ts stat − age (event time, not wall
+            # clock — a paused/replayed stream never over-trims)
+            newest = max(
+                (f[f"max_{tcol}"] for f in snap.files if f.get(f"max_{tcol}") is not None),
+                default=None,
+            )
+            if newest is not None:
+                import datetime as _dt
+
+                cutoff = _dt.datetime.fromisoformat(newest) - _dt.timedelta(
+                    seconds=retention_age_seconds or 0
+                )
+                r_ret = retention_truncate(
+                    spark, table, cutoff, write_salt=write_salt, conflict_retries=conflict_retries
+                )
+                metrics.retention_rows_dropped += r_ret["rows_dropped"]
+                metrics.retention_files_dropped += r_ret["files_dropped"]
         if expire_every and not res.skipped and metrics.batches % expire_every == 0:
             # retention floor: the oldest source snapshot any rollup's
             # next sync reads its changelog from (fresh — syncs above

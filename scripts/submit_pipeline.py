@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--compact-tail-over", type=int, default=0,
                     help="bronze-only: need-based trigger — fold any bucket whose MOR "
                          "delta tail reaches N delta commits (only those buckets rewritten)")
+    ap.add_argument("--retention-every", type=int, default=0,
+                    help="bronze-only: rolling event-time TTL sweep every N batches "
+                         "(metadata-first file drops; incompatible with rollups)")
+    ap.add_argument("--retention-age-seconds", type=float, default=None,
+                    help="TTL age: sweep cutoff = newest ts stat - this many seconds")
     ap.add_argument("--expire-every", type=int, default=0,
                     help="bronze-only: run snapshot expiry + GC on every maintained "
                          "table every N batches (rollup changelog cursors auto-protected)")
@@ -251,6 +256,8 @@ def main(argv: list[str] | None = None) -> dict:
             ),
             compact_cluster_mode=args.compact_cluster_mode,
             compact_tail_files_over=args.compact_tail_over,
+            retention_every=args.retention_every,
+            retention_age_seconds=args.retention_age_seconds,
             expire_every=args.expire_every,
             expire_keep_last=args.expire_keep_last,
             rollups=rollups,
@@ -273,6 +280,9 @@ def main(argv: list[str] | None = None) -> dict:
             out["expired_snapshots"] = metrics.expired_snapshots
             out["gc_deleted_files"] = metrics.gc_deleted_files
             out["gc_freed_bytes"] = metrics.gc_freed_bytes
+        if args.retention_every:
+            out["retention_rows_dropped"] = metrics.retention_rows_dropped
+            out["retention_files_dropped"] = metrics.retention_files_dropped
         if rollups:
             # drain the tail window past the last cadence tick, then
             # report mart size as the run's rollup evidence

@@ -627,3 +627,79 @@ def test_distinct_rollup_expire_protects_support_changelog(spark, make_table, tm
         for r in tbl.read(spark).groupBy("role").agg(F.countDistinct("conv_id").alias("d")).collect()
     }
     assert got == want
+
+
+# ---- retention truncation (metadata-first TTL sweep) ---------------------
+
+
+def _ts(s):
+    from datetime import datetime, timezone
+
+    return datetime.fromtimestamp(1767225600 + s, tz=timezone.utc).replace(tzinfo=None)
+
+
+def test_retention_truncate_drops_old_rows_and_whole_files(spark, make_table):
+    """A ts-clustered table sweeps most expired data by metadata alone:
+    wholly-expired files leave the manifest unread, only straddling
+    files are rewritten, and the surviving state is exactly the
+    recompute of `ts >= cutoff`."""
+    from digital_analytics_data_platform_spark.lake import compact, retention_truncate
+
+    tbl = make_table()
+    # three eras of data; MOR appends then a ts-clustered compact so
+    # file extents are tight in ts
+    for era in range(3):
+        rows = [
+            ("I", f"c{era}_{i}", 0, "user", f"t{era}", None, era * 100 + i, era * 100 + i)
+            for i in range(20)
+        ]
+        _apply(spark, tbl, rows, f"era{era}")
+    compact(spark, tbl, all_buckets=True, cluster_by=["ts"], write_salt=4)
+
+    pre_versions = tbl.snapshot().version
+    stats = retention_truncate(spark, tbl, _ts(150))
+    assert stats["version"] == pre_versions + 1
+    assert stats["files_dropped"] > 0  # metadata-only drops happened
+    assert stats["rows_dropped"] == 40  # eras 0 and 1 (20 rows each)
+    # every surviving row is post-cutoff; state == recompute
+    got = {(r["conv_id"], r["ts"]) for r in tbl.read(spark).collect()}
+    assert len(got) == 20
+    assert all(ts >= _ts(150) for _c, ts in got)
+
+    # cutoff before everything: exact no-op, no new version
+    stats2 = retention_truncate(spark, tbl, _ts(0))
+    assert stats2 == {
+        "files_dropped": 0, "files_rewritten": 0, "rows_dropped": 0,
+        "rows_rewritten": 0, "version": stats["version"],
+    }
+
+    # cutoff after everything: pure metadata delete — no rewrites at all
+    stats3 = retention_truncate(spark, tbl, _ts(10_000))
+    assert stats3["files_rewritten"] == 0 and stats3["files_dropped"] > 0
+    assert tbl.read(spark).count() == 0
+
+
+def test_retention_truncate_lww_safe_across_delta_files(spark, make_table):
+    """Removing expired rows can never flip a surviving key's LWW
+    resolution: a key's old version expires out of one delta file while
+    its newer version survives in another; keys whose EVERY version
+    (including tombstones) expired vanish entirely."""
+    from digital_analytics_data_platform_spark.lake import retention_truncate
+
+    tbl = make_table()
+    _apply(spark, tbl, [("I", "keep", 0, "user", "old", None, 10, 1),
+                        ("I", "gone", 0, "user", "x", None, 20, 2)], "b1")
+    _apply(spark, tbl, [("U", "keep", 0, "user", "new", None, 200, 3),
+                        ("D", "gone", 0, None, None, None, 30, 4)], "b2")
+
+    stats = retention_truncate(spark, tbl, _ts(100))
+    assert stats["rows_dropped"] == 3  # keep@10, gone@20, tombstone@30
+    state = {r["conv_id"]: r["text"] for r in tbl.read(spark).collect()}
+    assert state == {"keep": "new"}
+    # the expired tombstone is physically gone too (documented horizon:
+    # a pre-cutoff late event would re-insert until the next sweep)
+    assert tbl.read(spark, include_deleted=True).filter("conv_id = 'gone'").count() == 0
+
+    # time travel to the pre-sweep snapshot still sees the old world
+    old = tbl.read(spark, snapshot_version=stats["version"] - 1)
+    assert old.count() == 1  # keep (gone is tombstoned)

@@ -445,3 +445,50 @@ def test_adaptive_compaction_folds_only_hot_buckets(spark, make_table, tmp_path,
     # state intact: 6 hot turns + 6 cold convs
     got = {(r["conv_id"], r["turn_idx"]) for r in tbl.read(spark).collect()}
     assert got == {("hotconv", i) for i in range(6)} | {(c, 0) for c in colds}
+
+
+def test_stream_rolling_retention_trims_old_eras(spark, make_table, tmp_path):
+    """retention_every + retention_age_seconds: the live tail enforces a
+    rolling event-time TTL — each sweep's cutoff is (newest ts stat −
+    age), so by end-of-stream exactly the eras older than the age
+    survive, and the drop counts reconcile."""
+    import pytest
+
+    from digital_analytics_data_platform_spark.streaming import (
+        apply_stream,
+        cdc_file_stream,
+        write_log_segments,
+    )
+    from tests.conftest import cdc_rows
+
+    rows = []
+    for era in range(6):
+        for j in range(20):
+            rows.append(
+                ("I", f"c{era}_{j}", 0, "user", f"t{era}", None, era * 1000 + j, era * 10 + j // 2)
+            )
+    log_dir = str(tmp_path / "cdclog")
+    write_log_segments(cdc_rows(spark, rows), log_dir, n_segments=6)
+
+    tbl = make_table()
+    src = cdc_file_stream(spark, log_dir, max_files_per_trigger=1)
+    _, m = apply_stream(
+        spark, src, tbl.path, str(tmp_path / "ckpt"), pipeline_id="bronze",
+        strategy="mor", retention_every=2, retention_age_seconds=2500,
+    )
+    assert m.batches == 6
+    # sweeps at batches 2 (cutoff < 0: no-op), 4 (drops era 0), 6
+    # (drops eras 1+2); eras 3-5 are inside the age window
+    assert m.retention_rows_dropped == 60
+    got = {r["conv_id"] for r in tbl.read(spark).collect()}
+    assert got == {f"c{era}_{j}" for era in (3, 4, 5) for j in range(20)}
+
+    # refusing the silent-mart-drift combination
+    from digital_analytics_data_platform_spark.plans.ivm import IncrementalRollup
+
+    roll = IncrementalRollup.create(str(tmp_path / "mart"), tbl, ["role"], [], n_buckets=4)
+    with pytest.raises(ValueError, match="retention_every"):
+        apply_stream(
+            spark, src, tbl.path, str(tmp_path / "ckpt2"), pipeline_id="b2",
+            rollups=[roll], retention_every=2, retention_age_seconds=10,
+        )

@@ -10,7 +10,7 @@ backfill/replay (the chunked-backfill-loop analog,
 
 from .source import cdc_file_stream, cdc_json_stream, cdc_schema, write_log_segments
 from .runner import apply_stream, metrics_df, StreamMetrics
-from .relay import relay_changes, RelayResult
+from .relay import relay_changes, relay_cursor, RelayResult
 
 __all__ = [
     "cdc_file_stream",
@@ -21,5 +21,6 @@ __all__ = [
     "metrics_df",
     "StreamMetrics",
     "relay_changes",
+    "relay_cursor",
     "RelayResult",
 ]

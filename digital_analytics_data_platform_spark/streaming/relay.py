@@ -71,6 +71,16 @@ def _read_cursor(out_dir: str) -> int:
         return int(json.load(f)["version"])
 
 
+def relay_cursor(out_dir: str) -> int:
+    """The relay's durable position: the last source snapshot version it
+    has fully encoded (0 before the first tick). Expose this to
+    snapshot expiry as a retention floor —
+    ``apply_stream(expire_protect=[lambda: relay_cursor(out_dir)])`` —
+    so a lagging relay's next ``read_changes(since_version=cursor)``
+    can never lose its manifest to aggressive ``expire_keep_last``."""
+    return _read_cursor(out_dir)
+
+
 def _write_cursor(out_dir: str, version: int) -> None:
     p = os.path.join(out_dir, CURSOR_FILE)
     tmp = p + f".tmp.{uuid.uuid4().hex[:8]}"

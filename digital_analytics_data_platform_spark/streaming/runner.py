@@ -76,6 +76,7 @@ def apply_stream(
     compact_tail_files_over: int = 0,
     expire_every: int = 0,
     expire_keep_last: int = 10,
+    expire_protect: "list | None" = None,
     retention_every: int = 0,
     retention_age_seconds: float | None = None,
     history_path: str | None = None,
@@ -135,9 +136,14 @@ def apply_stream(
     composed rollups guard their internal changelog consumers the same
     way (``DistinctCountRollup.expire``). Tagged snapshots (e.g. WAP's
     ``published``) always survive. External consumers the runner cannot
-    see (a CDC relay tailing this table) must either keep their lag
-    under ``expire_keep_last`` commits or be expired manually with
-    their cursor as the floor.
+    discover on its own (a CDC relay tailing this table, a second
+    pipeline's reconcile) register through ``expire_protect``: a list
+    of zero-arg callables each returning the oldest main-table version
+    that consumer still needs (e.g.
+    ``lambda: relay_cursor(relay_out_dir)``); the floors are
+    re-evaluated at every expiry tick and joined with the rollups'
+    cursors, so a lagging consumer's window is retained no matter how
+    aggressive ``expire_keep_last`` is.
 
     ``conflict_retries``: optimistic-concurrency budget passed through to
     :func:`merge_changes` / :func:`compact` — a concurrent writer on the
@@ -270,6 +276,7 @@ def apply_stream(
             # next sync reads its changelog from (fresh — syncs above
             # just ran); None (no rollups) means keep_last alone rules
             floors = [r.source_cursor() for r in rollups or [] if hasattr(r, "source_cursor")]
+            floors += [int(fn()) for fn in expire_protect or []]
             r_exp = table.expire_snapshots(
                 keep_last=expire_keep_last,
                 protect_versions_since=min(floors) if floors else None,

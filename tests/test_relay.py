@@ -203,3 +203,53 @@ def test_relay_images_mirror_converges_and_carries_before(
     compact(spark, src_tbl, all_buckets=True)
     r3 = relay_changes(spark, src_tbl, wire_dir, codec=codec, images=True)
     assert r3.rows == 0
+
+
+def test_relay_cursor_as_expiry_floor(spark, make_table, tmp_path):
+    """A lagging relay registers its cursor as an expire_protect floor:
+    the streaming runner's aggressive keep_last=1 expiry retains the
+    relay's window, so the next tick encodes exactly what accrued while
+    it lagged — and the same lag WITHOUT the floor fails loudly."""
+    import pytest
+
+    from digital_analytics_data_platform_spark.streaming import (
+        apply_stream,
+        cdc_file_stream,
+        relay_cursor,
+        write_log_segments,
+    )
+
+    log = datagen.change_log(
+        spark, 3_000, n_convs=40, turns_per_conv=8, garbage_frac=0.0
+    ).cache()
+    first, second = log.filter(F.col("lsn") < 1500), log.filter(F.col("lsn") >= 1500)
+    for name, protect in (("prot", True), ("bare", False)):
+        tbl = make_table(f"src_{name}", n_buckets=4)
+        wire = str(tmp_path / f"wire_{name}")
+        log_dir = str(tmp_path / f"log_{name}")
+        write_log_segments(first, log_dir, n_segments=2)
+        src = cdc_file_stream(spark, log_dir, max_files_per_trigger=1)
+        apply_stream(spark, src, tbl.path, str(tmp_path / f"ck_{name}"), pipeline_id="b",
+                     strategy="mor")
+        r1 = relay_changes(spark, tbl, wire)
+        assert not r1.skipped
+        cursor_after_t1 = relay_cursor(wire)
+
+        # relay lags while the stream applies more and expires hard
+        write_log_segments(second, log_dir, n_segments=2)
+        src2 = cdc_file_stream(spark, log_dir, max_files_per_trigger=1)
+        apply_stream(
+            spark, src2, tbl.path, str(tmp_path / f"ck_{name}"), pipeline_id="b",
+            strategy="mor", expire_every=1, expire_keep_last=1,
+            expire_protect=[lambda w=wire: relay_cursor(w)] if protect else None,
+        )
+        if protect:
+            # the cursor's manifest survived; the catch-up tick works
+            assert min(tbl.list_snapshots()) <= cursor_after_t1
+            r2 = relay_changes(spark, tbl, wire)
+            assert not r2.skipped and r2.rows > 0
+        else:
+            # hazard is real: the bare table expired the relay's window
+            assert min(tbl.list_snapshots()) > cursor_after_t1
+            with pytest.raises(FileNotFoundError):
+                relay_changes(spark, tbl, wire)

@@ -519,6 +519,10 @@ class LakeTable:
             if c in written.columns and not (c in seen or seen.add(c))
         ]
         aggs: list[F.Column] = [F.count(F.lit(1)).alias("rows")]
+        if DELETED_COL in written.columns:
+            # per-file tombstone-row count: lets manifest arithmetic
+            # serve exact LIVE counts (fast_count) on canonical layouts
+            aggs.append(F.sum(F.col(DELETED_COL).cast("long")).alias("tombstones"))
         for c in ocols:
             aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
         # Per-file bloom filters (Parquet split-block / Paimon file-index
@@ -568,6 +572,8 @@ class LakeTable:
                 "bucket": int(r["_bk"]),
                 "rows": int(r["rows"]),
             }
+            if "tombstones" in r.__fields__:
+                entry["tombstones"] = int(r["tombstones"] or 0)
             for c in ocols:
                 if r[f"min_{c}"] is not None:
                     entry[f"min_{c}"] = _json_safe(r[f"min_{c}"])
@@ -1024,6 +1030,24 @@ class LakeTable:
 
     def total_rows(self) -> int:
         return sum(f["rows"] for f in self.snapshot().files)
+
+    def fast_count(self, *, snapshot_version: int | None = None) -> int | None:
+        """Exact LIVE row count from manifest arithmetic alone — no
+        Spark job (the Iceberg metadata-only ``COUNT(*)`` shape):
+        Σ(rows − tombstones) over the manifest. Valid exactly when the
+        read path would skip the LWW collapse — no MOR delta tail, so
+        physical rows are one-per-key — and every file carries the
+        per-file tombstone stat (written since the stat landed).
+        Returns ``None`` when it cannot answer exactly; callers fall
+        back to ``read(spark).count()``. Stays exact across clustered
+        compaction, retention truncation, and rescale (all write
+        canonical one-version-per-key layouts)."""
+        snap = self.snapshot(snapshot_version)
+        if snap.props.get("delta_buckets"):
+            return None
+        if any("tombstones" not in f for f in snap.files):
+            return None
+        return sum(int(f["rows"]) - int(f["tombstones"]) for f in snap.files)
 
     def files_df(self, spark: SparkSession, *, snapshot_version: int | None = None) -> DataFrame:
         """The live manifest as a queryable DataFrame (Iceberg

@@ -703,3 +703,38 @@ def test_retention_truncate_lww_safe_across_delta_files(spark, make_table):
     # time travel to the pre-sweep snapshot still sees the old world
     old = tbl.read(spark, snapshot_version=stats["version"] - 1)
     assert old.count() == 1  # keep (gone is tombstoned)
+
+
+# ---- manifest-served exact counts ---------------------------------------
+
+
+def test_fast_count_metadata_only(spark, make_table):
+    """fast_count serves the exact live row count from the manifest
+    (no Spark job) precisely when the read path skips LWW collapse —
+    canonical layouts after COW merges, compaction, and retention —
+    and refuses (None) on a MOR delta tail."""
+    from digital_analytics_data_platform_spark.lake import compact, retention_truncate
+
+    tbl = make_table()
+    # COW merges keep a canonical layout: exact immediately
+    _apply_cow = lambda rows, key: merge_changes(
+        spark, tbl, cdc_rows(spark, rows), batch_key=key, strategy="cow"
+    )
+    _apply_cow([("I", "a", 0, "user", "x", None, 10, 1),
+                ("I", "b", 0, "user", "y", None, 20, 2)], "b1")
+    _apply_cow([("D", "b", 0, None, None, None, 30, 3),
+                ("I", "c", 0, "user", "z", None, 40, 4)], "b2")
+    assert tbl.fast_count() == 2  # a, c live; b tombstoned
+    assert tbl.fast_count() == tbl.read(spark).count()
+
+    # a MOR delta tail makes physical rows ≠ live keys → refuse
+    _apply(spark, tbl, [("U", "a", 0, "user", "x2", None, 50, 5)], "b3")
+    assert tbl.fast_count() is None
+
+    # folding the tail restores manifest-exactness
+    compact(spark, tbl, all_buckets=True)
+    assert tbl.fast_count() == 2 == tbl.read(spark).count()
+
+    # retention rewrites stay canonical: still exact, still no job
+    retention_truncate(spark, tbl, _ts(35))
+    assert tbl.fast_count() == tbl.read(spark).count() == 2  # a@50, c@40 survive

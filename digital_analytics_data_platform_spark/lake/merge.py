@@ -1066,8 +1066,15 @@ def expire_tombstones(
 def _expire_tombstones_once(spark: SparkSession, table: LakeTable, *, older_than_lsn: int) -> int:
     """Maintenance: rewrite buckets dropping tombstones whose order col
     is below the watermark (safe once no event older than the watermark
-    can still arrive — the reference's lookback-window contract)."""
+    can still arrive — the reference's lookback-window contract).
+
+    Refused while a snapshot bootstrap is in flight: a tail delete's
+    tombstone expired before the (sentinel-ordered, older) snapshot
+    chunk for that key lands would let the chunk RESURRECT the deleted
+    key — the DBLog-class hazard ``streaming/bootstrap.py`` guards by
+    construction."""
     snap = table.snapshot()
+    _refuse_during_bootstrap(snap, "expire_tombstones")
     df = table.read(spark, include_deleted=True)
     keep = df.filter(~(F.col(DELETED_COL) & (F.col(snap.order_cols[-1]) < older_than_lsn)))
     keep = keep.withColumn(
@@ -1083,6 +1090,21 @@ def _expire_tombstones_once(spark: SparkSession, table: LakeTable, *, older_than
         props_update={"tombstone_watermark_lsn": older_than_lsn, "delta_buckets": {}},
     )
     return sum(f["rows"] for f in new_files)
+
+
+def _refuse_during_bootstrap(snap, op: str) -> None:
+    """Tombstone-destroying maintenance is unsafe while a snapshot
+    bootstrap is mid-flight (see ``streaming/bootstrap.py``): an
+    unapplied snapshot chunk may still hold a key whose tail delete the
+    maintenance would erase, resurrecting it. Loud refusal beats silent
+    wrongness; re-run after :func:`~..streaming.bootstrap.bootstrap_finish`."""
+    b = snap.props.get("bootstrap")
+    if b:
+        raise RuntimeError(
+            f"{op} refused: snapshot bootstrap in flight "
+            f"({b.get('pipeline_id')}@{b.get('snapshot_lsn')}) — expiring tombstones now "
+            "could resurrect keys deleted by the live tail; finish the bootstrap first"
+        )
 
 
 def retention_truncate(
@@ -1148,6 +1170,7 @@ def _retention_truncate_once(
     "rows_rewritten", "version"}``; metadata-only when
     ``files_rewritten == 0`` (no Spark job at all)."""
     snap = table.snapshot()
+    _refuse_during_bootstrap(snap, "retention_truncate")
     tcol = ts_col or snap.order_cols[0]
     cutoff_stat = older_than.isoformat() if hasattr(older_than, "isoformat") else older_than
     whole, straddling = [], []

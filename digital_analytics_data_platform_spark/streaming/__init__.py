@@ -11,8 +11,22 @@ backfill/replay (the chunked-backfill-loop analog,
 from .source import cdc_file_stream, cdc_json_stream, cdc_schema, write_log_segments
 from .runner import apply_stream, metrics_df, StreamMetrics
 from .relay import relay_changes, relay_cursor, RelayResult
+from .bootstrap import (
+    apply_snapshot_chunks,
+    bootstrap_begin,
+    bootstrap_finish,
+    bootstrap_stream,
+    lake_snapshot_changes,
+    snapshot_to_changes,
+)
 
 __all__ = [
+    "apply_snapshot_chunks",
+    "lake_snapshot_changes",
+    "bootstrap_begin",
+    "bootstrap_finish",
+    "bootstrap_stream",
+    "snapshot_to_changes",
     "cdc_file_stream",
     "cdc_json_stream",
     "cdc_schema",

@@ -152,6 +152,67 @@ def garbage_predicate(
     return bad
 
 
+def _to_physical_batch(changes: DataFrame, snap) -> tuple[DataFrame, dict]:
+    """Translate an incoming (logical-named) batch to the table's
+    physical layout — the write-side half of metadata-only rename/drop
+    (see ``LakeTable.rename_column``). Returns the translated frame and
+    any ``column_mapping`` additions that must ride the commit.
+
+    Binding rules, per batch column (``op``/``commit_lsn`` excluded):
+
+    - current **logical** name of a renamed column → bound to its
+      physical column;
+    - untouched name (logical == physical) → passthrough;
+    - **renamed-away old name** → still bound to the ORIGINAL physical
+      column. This deliberately diverges from Iceberg's "old name is
+      free" rule: in a CDC stream a rename happens mid-flight, and
+      events produced before the rename (or quarantine replays, which
+      store physical layout) must keep landing in the renamed column,
+      not silently fork a new one;
+    - **dropped** column's name → a FRESH physical column
+      (``{name}__v2``, ``__v3``…): re-adding a dropped name never
+      resurrects old values (the Iceberg field-ID semantic);
+    - brand-new name → itself (identity physical).
+
+    A batch carrying BOTH a logical name and its physical alias is
+    ambiguous and refused."""
+    m = snap.mapping() if hasattr(snap, "mapping") else {}
+    if not m:
+        return changes, {}
+    phys_names = set(snap.schema().fieldNames())
+    logical_to_phys = {l: p for p, l in m.items() if l is not None}
+    select_as: dict[str, str] = {}
+    mapping_update: dict[str, str] = {}
+    for c in changes.columns:
+        if c in ("op", "commit_lsn") or c.startswith("_"):
+            select_as[c] = c
+            continue
+        if c in logical_to_phys:
+            select_as[c] = logical_to_phys[c]
+        elif c in phys_names and m.get(c, c) is None:  # dropped → fresh column
+            k = 2
+            while f"{c}__v{k}" in phys_names or f"{c}__v{k}" in mapping_update:
+                k += 1
+            fresh = f"{c}__v{k}"
+            select_as[c] = fresh
+            mapping_update[fresh] = c
+        else:
+            select_as[c] = c  # identity / renamed-away alias / new column
+    targets = list(select_as.values())
+    dupes = {t for t in targets if targets.count(t) > 1}
+    if dupes:
+        raise ValueError(
+            f"batch binds multiple columns to the same physical column(s) {sorted(dupes)} "
+            "(a logical name and its old alias in one batch?)"
+        )
+    if all(src == dst for src, dst in select_as.items()):
+        return changes, mapping_update
+    return (
+        changes.select(*[F.col(src).alias(dst) for src, dst in select_as.items()]),
+        mapping_update,
+    )
+
+
 def align_to_fields(df: DataFrame, fields: list[T.StructField]) -> DataFrame:
     """Add missing evolved columns as typed NULLs and cast any column
     whose batch type differs from the evolved type (narrower batches
@@ -274,7 +335,7 @@ def _merge_changes_once(
     """
     t0 = time.monotonic()
     for k in extra_props or {}:
-        if k in (_LEDGER_KEY, "max_commit_lsn", "delta_buckets", "tombstone_watermark_lsn"):
+        if k in (_LEDGER_KEY, "max_commit_lsn", "delta_buckets", "tombstone_watermark_lsn", "column_mapping"):
             raise ValueError(f"extra_props key {k!r} is reserved")
     snap = table.snapshot()
     key_cols = snap.key_cols
@@ -283,6 +344,14 @@ def _merge_changes_once(
 
     if batch_key is not None and batch_key in ledger:
         return MergeResult(version=snap.version, skipped=True, wall_s=time.monotonic() - t0)
+
+    # logical → physical column binding (metadata-only rename/drop)
+    changes, mapping_update = _to_physical_batch(changes, snap)
+    mapping_props = (
+        {"column_mapping": {**snap.props.get("column_mapping", {}), **mapping_update}}
+        if mapping_update
+        else {}
+    )
 
     # ---- schema alignment / evolution -----------------------------------
     # New payload columns are appended; shared columns may WIDEN
@@ -321,7 +390,7 @@ def _merge_changes_once(
         return _merge_mor(
             spark, table, staged, snap, evolved_fields, evolved_schema, ledger,
             batch_key, write_salt, quarantine, fp_expr, commit_expr, t0, phases,
-            extra_props=extra_props,
+            extra_props=extra_props, mapping_props=mapping_props,
         )
 
     staged.persist(StorageLevel.MEMORY_AND_DISK)
@@ -368,7 +437,7 @@ def _merge_changes_once(
     clean = staged.filter(F.col("_bucket") >= 0)
 
     # ---- union existing + batch, one LWW hash-agg ------------------------
-    existing = table.read(spark, buckets=affected, include_deleted=True, collapse=False)
+    existing = table.read(spark, buckets=affected, include_deleted=True, collapse=False, physical=True)
     # old files lack newly-evolved columns / carry pre-promotion types
     existing = align_to_fields(existing, evolved_fields)
     existing_side = existing.select(
@@ -454,6 +523,7 @@ def _merge_changes_once(
             _LEDGER_KEY: ledger,
             "max_commit_lsn": max(max_commit, int(snap.props.get("max_commit_lsn", 0))),
             "delta_buckets": delta_buckets,
+            **mapping_props,
             **(extra_props or {}),
         },
         lineage=lineage,
@@ -479,7 +549,7 @@ def _merge_changes_once(
 def _merge_mor(
     spark, table, staged, snap, evolved_fields, evolved_schema, ledger,
     batch_key, write_salt, quarantine, fp_expr, commit_expr, t0, phases,
-    extra_props=None,
+    extra_props=None, mapping_props=None,
 ):
     """Append-only merge-on-read apply: collapse the batch alone, append
     winners as bucketed delta files. No read of existing data — apply
@@ -607,6 +677,7 @@ def _merge_mor(
             _LEDGER_KEY: _trim_ledger(ledger, batch_key, fingerprint, max_commit),
             "max_commit_lsn": max(max_commit, int(snap.props.get("max_commit_lsn", 0))),
             "delta_buckets": delta_buckets,
+            **(mapping_props or {}),
             **(extra_props or {}),
         },
         lineage=lineage,
@@ -689,6 +760,8 @@ def _compact_once(
     ``all_buckets=True`` forces the full rewrite (defragmentation).
     Returns rows written (0 = nothing to fold)."""
     snap = table.snapshot()
+    if cluster_by:  # callers speak logical names; files are physical
+        cluster_by = [snap.physical_of(c) or c for c in cluster_by]
     delta = snap.props.get("delta_buckets", {})
     if all_buckets:
         scope = list(range(snap.n_buckets))
@@ -698,7 +771,7 @@ def _compact_once(
             scope = sorted(set(scope) & {int(b) for b in buckets})
         if not scope:
             return 0
-    df = table.read(spark, buckets=scope, include_deleted=True)  # collapse auto-applies
+    df = table.read(spark, buckets=scope, include_deleted=True, physical=True)  # collapse auto-applies
     df = df.withColumn(
         "_bucket", F.pmod(F.xxhash64(F.col(snap.key_cols[0])), F.lit(snap.n_buckets)).cast("int")
     )
@@ -744,7 +817,7 @@ def rescale_buckets(
         snap = table.snapshot()
         if snap.n_buckets == new_n_buckets:
             return 0
-        df = table.read(spark, include_deleted=True, collapse=True)
+        df = table.read(spark, include_deleted=True, collapse=True, physical=True)
         df = df.withColumn(
             "_bucket",
             F.pmod(F.xxhash64(F.col(snap.key_cols[0])), F.lit(new_n_buckets)).cast("int"),
@@ -997,7 +1070,7 @@ def _reconcile_backfill_once(
             res.strategy = "reconcile"
             return res
 
-        cur = table.read(spark, buckets=affected, include_deleted=True)
+        cur = table.read(spark, buckets=affected, include_deleted=True, physical=True)
         cur = align_to_fields(cur, evolved_fields).select(*evolved_names, DELETED_COL)
         # window rows are superseded wholesale; corrected keys win anywhere
         keep = cur.filter((F.col(tcol) < F.lit(start)) | (F.col(tcol) >= F.lit(end))).join(
@@ -1075,7 +1148,7 @@ def _expire_tombstones_once(spark: SparkSession, table: LakeTable, *, older_than
     construction."""
     snap = table.snapshot()
     _refuse_during_bootstrap(snap, "expire_tombstones")
-    df = table.read(spark, include_deleted=True)
+    df = table.read(spark, include_deleted=True, physical=True)
     keep = df.filter(~(F.col(DELETED_COL) & (F.col(snap.order_cols[-1]) < older_than_lsn)))
     keep = keep.withColumn(
         "_bucket", F.pmod(F.xxhash64(F.col(snap.key_cols[0])), F.lit(snap.n_buckets)).cast("int")
@@ -1171,7 +1244,7 @@ def _retention_truncate_once(
     ``files_rewritten == 0`` (no Spark job at all)."""
     snap = table.snapshot()
     _refuse_during_bootstrap(snap, "retention_truncate")
-    tcol = ts_col or snap.order_cols[0]
+    tcol = (snap.physical_of(ts_col) or ts_col) if ts_col else snap.order_cols[0]
     cutoff_stat = older_than.isoformat() if hasattr(older_than, "isoformat") else older_than
     whole, straddling = [], []
     for f in snap.files:

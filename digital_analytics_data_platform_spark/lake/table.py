@@ -116,6 +116,35 @@ class Snapshot:
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.schema_json))
 
+    # -- logical/physical column mapping (schema evolution: rename/drop) --
+    #
+    # The snapshot's schema is the PHYSICAL schema — the names data
+    # files are written and read with; once assigned, a physical name
+    # never changes or gets reused (it plays the role of an Iceberg
+    # field ID). Renames and drops are pure metadata: props
+    # ["column_mapping"] maps physical → logical (None = dropped), and
+    # every user-facing surface speaks logical names while writers and
+    # maintenance run physical. Key and order columns are the table's
+    # identity and cannot be renamed or dropped (refused at the API).
+
+    def mapping(self) -> dict:
+        return self.props.get("column_mapping") or {}
+
+    def logical_of(self, physical: str) -> str | None:
+        """Current logical name of a physical column; None if dropped."""
+        m = self.mapping()
+        return m[physical] if physical in m else physical
+
+    def physical_of(self, logical: str) -> str | None:
+        """Physical column bound to a logical name; None if unknown."""
+        m = self.mapping()
+        for p, l in m.items():
+            if l == logical:
+                return p
+        if logical in self.schema().fieldNames() and logical not in m:
+            return logical
+        return None
+
     def to_json(self) -> str:
         return json.dumps(
             {
@@ -288,6 +317,7 @@ class LakeTable:
         bloom_eq: dict[str, Any] | None = None,
         bloom_and: dict[str, str] | None = None,
         collapse: bool | None = None,
+        physical: bool = False,
     ) -> DataFrame:
         """Read the table at a snapshot. ``buckets`` prunes to the given
         bucket ids via the manifest (file skipping — the partition-
@@ -317,7 +347,15 @@ class LakeTable:
         ``tag`` resolves a named pin from :meth:`set_tag`; ``as_of``
         resolves a wall-clock publish time via :meth:`version_at`
         (``FOR TIMESTAMP AS OF`` analog). The three selectors are
-        mutually exclusive."""
+        mutually exclusive.
+
+        Column names in ``stats_range`` / ``bloom_eq`` / ``bloom_and``
+        are LOGICAL (post-rename) and are translated to the physical
+        stat keys here. The returned frame carries logical names with
+        dropped columns projected away; ``physical=True`` (internal
+        writers and maintenance — anything that writes rows back into
+        data files) skips the projection and returns the raw physical
+        layout."""
         if sum(x is not None for x in (snapshot_version, tag, as_of)) > 1:
             raise ValueError("pass at most one of snapshot_version / tag / as_of")
         if tag is not None:
@@ -328,6 +366,21 @@ class LakeTable:
         if as_of is not None:
             snapshot_version = self.version_at(as_of)
         snap = self.snapshot(snapshot_version)
+
+        def _phys_keys(d: dict | None, what: str) -> dict | None:
+            if not d or not snap.mapping() or physical:
+                return d  # physical callers already speak physical names
+            out = {}
+            for col, v in d.items():
+                p = snap.physical_of(col)
+                if p is None:
+                    raise KeyError(f"{what}: unknown column {col!r} (after renames/drops)")
+                out[p] = v
+            return out
+
+        stats_range = _phys_keys(stats_range, "stats_range")
+        bloom_eq = _phys_keys(bloom_eq, "bloom_eq")
+        bloom_and = _phys_keys(bloom_and, "bloom_and")
         files = snap.files
         if buckets is not None:
             bset = set(buckets)
@@ -385,7 +438,10 @@ class LakeTable:
                 ]
         schema = snap.schema()
         if not files:
-            return spark.createDataFrame([], schema)
+            df = spark.createDataFrame([], schema)
+            if not include_deleted:
+                df = df.drop(DELETED_COL)
+            return df if physical else _to_logical(df, snap)
         df = spark.read.schema(schema).parquet(*[os.path.join(self.path, f["path"]) for f in files])
         if collapse is None:
             collapse = bool(snap.props.get("delta_buckets"))
@@ -393,7 +449,7 @@ class LakeTable:
             df = lww_collapse(df, snap.key_cols, snap.order_cols)
         if not include_deleted:
             df = df.filter(~F.col(DELETED_COL)).drop(DELETED_COL)
-        return df
+        return df if physical else _to_logical(df, snap)
 
     # -- write -----------------------------------------------------------
 
@@ -682,7 +738,7 @@ class LakeTable:
             + [T.StructField("_change_type", T.StringType(), False)]
         )
         if not added:
-            return spark.createDataFrame([], out_schema)
+            return _to_logical(spark.createDataFrame([], out_schema), new)
         touched = sorted({f["bucket"] for f in added})
         df_added = spark.read.schema(schema).parquet(
             *[os.path.join(self.path, f["path"]) for f in added]
@@ -709,16 +765,20 @@ class LakeTable:
             snapshot_version=new.version,
             bloom_and=bloom_keys,
             collapse=False,
+            physical=True,
         )
         changed = lww_collapse(
             current.join(keys, on=new.key_cols, how="left_semi"),
             new.key_cols,
             new.order_cols,
         )
-        return changed.select(
+        out = changed.select(
             *[c for c in changed.columns if c != DELETED_COL],
             F.when(F.col(DELETED_COL), F.lit("delete")).otherwise(F.lit("upsert")).alias("_change_type"),
         )
+        # emit CURRENT logical names — a consumer never sees physical
+        # layout, even across rename/drop boundaries inside the window
+        return _to_logical(out, new)
 
     def read_changelog(
         self,
@@ -784,10 +844,15 @@ class LakeTable:
         added = [f for f in new.files if f["path"] not in old_paths]
         schema = new.schema()
         if columns is not None:
-            keep = set(columns) | set(new.key_cols) | set(new.order_cols)
-            unknown = keep - {f.name for f in schema.fields}
-            if unknown:
-                raise ValueError(f"columns not in table schema: {sorted(unknown)}")
+            # caller speaks logical names; translate to the physical
+            # projection (key/order cols are identity by construction)
+            phys_cols = []
+            for c in columns:
+                p = new.physical_of(c)
+                if p is None:
+                    raise ValueError(f"columns not in table schema: [{c!r}]")
+                phys_cols.append(p)
+            keep = set(phys_cols) | set(new.key_cols) | set(new.order_cols)
             proj_fields = [f for f in schema.fields if f.name in keep or f.name == DELETED_COL]
         else:
             proj_fields = list(schema.fields)
@@ -804,7 +869,7 @@ class LakeTable:
             + [f for f in row_fields if f.name in new.order_cols]
         )
         if not added:
-            return spark.createDataFrame([], out_schema)
+            return _changelog_logical(spark.createDataFrame([], out_schema), new, row_fields)
         touched = sorted({f["bucket"] for f in added})
         df_added = spark.read.schema(schema).parquet(
             *[os.path.join(self.path, f["path"]) for f in added]
@@ -853,6 +918,7 @@ class LakeTable:
             snapshot_version=old.version,
             bloom_and=bloom_keys,
             collapse=False,
+            physical=True,
         )
         # Align the old read to the new row schema: mid-stream-added
         # columns surface as null, widened columns cast up.
@@ -890,6 +956,7 @@ class LakeTable:
                     snapshot_version=new.version,
                     bloom_and=bloom_keys,
                     collapse=False,
+                    physical=True,
                 )
                 .select(*[f.name for f in proj_fields])
                 .join(keys, on=new.key_cols, how="left_semi"),
@@ -916,12 +983,19 @@ class LakeTable:
         # cols participate only when explicitly requested (e.g. a
         # MIN/MAX-over-lsn mart). The full view keeps whole-row compare.
         if columns is None:
-            cmp_b, cmp_a = b, a
+            if new.mapping():
+                # dropped physical columns are invisible downstream —
+                # a change confined to them is not a change
+                cmp_cols = [c for c in row_cols if new.logical_of(c) is not None]
+                cmp_b = F.struct(*[b[c] for c in cmp_cols])
+                cmp_a = F.struct(*[a[c] for c in cmp_cols])
+            else:
+                cmp_b, cmp_a = b, a
         else:
-            cmp_cols = [c for c in row_cols if c in set(new.key_cols) | set(columns)]
+            cmp_cols = [c for c in row_cols if c in set(new.key_cols) | set(phys_cols)]
             cmp_b = F.struct(*[b[c] for c in cmp_cols])
             cmp_a = F.struct(*[a[c] for c in cmp_cols])
-        return (
+        return _changelog_logical(
             joined.select(
                 *new.key_cols,
                 "before",
@@ -937,7 +1011,9 @@ class LakeTable:
             )
             # both-null (delete of a never-live key) and no-op rewrites
             # (compaction superset, same-value upsert) are not changes
-            .filter(F.col("_change_type").isNotNull())
+            .filter(F.col("_change_type").isNotNull()),
+            new,
+            row_fields,
         )
 
     def read_point(
@@ -1160,6 +1236,93 @@ class LakeTable:
                 out[n] = int(f.read().strip())
         return out
 
+    # -- schema evolution: metadata-only rename / drop ---------------------
+
+    def _current_logicals(self, snap: Snapshot) -> dict[str, str]:
+        """logical → physical for every live (non-dropped) business column."""
+        out = {}
+        for f in snap.schema().fields:
+            if f.name == DELETED_COL:
+                continue
+            l = snap.logical_of(f.name)
+            if l is not None:
+                out[l] = f.name
+        return out
+
+    def rename_column(self, old: str, new: str, *, conflict_retries: int = 10) -> None:
+        """Metadata-only column rename (Iceberg ``ALTER TABLE … RENAME
+        COLUMN`` parity): no data file is touched — the physical name
+        keeps identifying the column in every file ever written (the
+        field-ID role), and the logical mapping changes in one
+        props-only OCC commit. Key and order columns are the table's
+        identity (bucketing, LWW, changelog cursors, downstream IVM
+        key joins) and are refused — evolve those by migration.
+
+        After a rename the OLD name is free: a later batch writing it
+        creates a brand-new column (fresh physical, old data NOT
+        visible under it) — the Iceberg drop/re-add semantic."""
+        for attempt in range(conflict_retries + 1):
+            snap = self.snapshot()
+            live = self._current_logicals(snap)
+            if old not in live:
+                raise KeyError(f"no column {old!r} (current columns: {sorted(live)})")
+            if new in live:
+                raise ValueError(f"column {new!r} already exists")
+            if not new.isidentifier():
+                raise ValueError(f"invalid column name {new!r}")
+            phys = live[old]
+            if phys in snap.key_cols or phys in snap.order_cols:
+                raise ValueError(
+                    f"cannot rename key/order column {old!r}: the key spine is the table's "
+                    "identity (bucketing, LWW order, changelog consumers); migrate instead"
+                )
+            m = dict(snap.mapping())
+            if new == phys:
+                m.pop(phys, None)  # rename back to the physical name = identity
+            else:
+                m[phys] = new
+            try:
+                self.commit(
+                    new_files=[],
+                    expected_version=snap.version,
+                    props_update={"column_mapping": m},
+                    lineage=[{"mode": "rename_column", "from": old, "to": new, "physical": phys}],
+                )
+                return
+            except CommitConflict:
+                if attempt >= conflict_retries:
+                    raise
+
+    def drop_column(self, name: str, *, conflict_retries: int = 10) -> None:
+        """Metadata-only column drop: the physical column stays in every
+        existing file (and in the physical schema — physical names are
+        never reused), but disappears from reads, changelogs and
+        merges; new data writes it as null. Re-adding the same logical
+        name later binds a FRESH physical column, so old values never
+        resurrect (Iceberg field-ID semantics). Key/order columns are
+        refused."""
+        for attempt in range(conflict_retries + 1):
+            snap = self.snapshot()
+            live = self._current_logicals(snap)
+            if name not in live:
+                raise KeyError(f"no column {name!r} (current columns: {sorted(live)})")
+            phys = live[name]
+            if phys in snap.key_cols or phys in snap.order_cols:
+                raise ValueError(f"cannot drop key/order column {name!r}")
+            m = dict(snap.mapping())
+            m[phys] = None
+            try:
+                self.commit(
+                    new_files=[],
+                    expected_version=snap.version,
+                    props_update={"column_mapping": m},
+                    lineage=[{"mode": "drop_column", "column": name, "physical": phys}],
+                )
+                return
+            except CommitConflict:
+                if attempt >= conflict_retries:
+                    raise
+
     def rollback(
         self,
         to_version: int | None = None,
@@ -1328,6 +1491,49 @@ class LakeTable:
                 for n in filenames:
                     os.remove(os.path.join(dirpath, n))
                 os.rmdir(dirpath)
+
+
+def _to_logical(df: DataFrame, snap: Snapshot) -> DataFrame:
+    """Project a physical-layout frame to the snapshot's logical view:
+    business columns are aliased to their current logical names, dropped
+    columns disappear, and non-business columns (``_deleted``,
+    ``_change_type``, …) pass through untouched. Identity mapping is a
+    no-op (no extra plan node)."""
+    m = snap.mapping()
+    if not m:
+        return df
+    business = {f.name for f in snap.schema().fields if f.name != DELETED_COL}
+    cols = []
+    for c in df.columns:
+        if c in business:
+            l = snap.logical_of(c)
+            if l is None:
+                continue  # dropped column
+            cols.append(F.col(c).alias(l) if l != c else F.col(c))
+        else:
+            cols.append(F.col(c))
+    return df.select(*cols)
+
+
+def _changelog_logical(df: DataFrame, snap: Snapshot, row_fields: list) -> DataFrame:
+    """Remap a changelog-with-images frame to the snapshot's CURRENT
+    logical view: before/after struct fields are aliased to logical
+    names (dropped columns pruned from the images); top-level key/order
+    columns are identity by construction (rename refused for them).
+    No-op on identity mapping."""
+    if not snap.mapping():
+        return df
+    pairs = [(f.name, snap.logical_of(f.name)) for f in row_fields]
+    pairs = [(p, l) for p, l in pairs if l is not None]
+
+    def remap(side: str):
+        return F.when(
+            F.col(side).isNotNull(), F.struct(*[F.col(side)[p].alias(l) for p, l in pairs])
+        ).alias(side)
+
+    return df.select(
+        *snap.key_cols, remap("before"), remap("after"), "_change_type", *snap.order_cols
+    )
 
 
 def lww_collapse(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:

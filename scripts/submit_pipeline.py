@@ -128,6 +128,19 @@ def build_parser() -> argparse.ArgumentParser:
                          "(either side of the join)")
     ap.add_argument("--rollup-sync-every", type=int, default=1,
                     help="sync the rollup every N applied batches")
+    ap.add_argument("--bootstrap-snapshot", default=None,
+                    help="bronze-only: parquet path of the source table's existing rows "
+                         "(initial load) — applied as bucket-aligned chunks RACING the "
+                         "live tail (streaming/bootstrap.py, the DBLog shape)")
+    ap.add_argument("--bootstrap-lsn", type=int, default=0,
+                    help="log position the snapshot is consistent as of (tail events "
+                         "below it are filtered in unversioned mode)")
+    ap.add_argument("--bootstrap-chunks", type=int, default=None,
+                    help="number of snapshot chunks (default min(16, table buckets))")
+    ap.add_argument("--bootstrap-versioned", action="store_true",
+                    help="snapshot rows carry true (ts, lsn) order columns "
+                         "(e.g. a lake_snapshot_changes export) — exact under "
+                         "arbitrary overlap/disorder")
     ap.add_argument("--local-cores", type=int, default=None,
                     help="build a local[N] session (omit under spark-submit on a cluster)")
     return ap
@@ -241,11 +254,7 @@ def main(argv: list[str] | None = None) -> dict:
                     n_buckets=args.n_buckets, **jr_kw,
                 )
             rollups.append(jr)
-        _, metrics = apply_stream(
-            spark,
-            source,
-            bronze_path,
-            args.checkpoint_dir,
+        stream_kw = dict(
             available_now=available_now,
             processing_time=processing_time,
             write_salt=args.write_salt,
@@ -262,10 +271,45 @@ def main(argv: list[str] | None = None) -> dict:
             expire_keep_last=args.expire_keep_last,
             rollups=rollups,
             rollup_sync_every=args.rollup_sync_every,
-            # block in BOTH trigger modes: a processingTime tail that
-            # returns would exit the process and kill the stream
-            await_termination=True,
         )
+        chunk_results = None
+        if args.bootstrap_snapshot:
+            if args.retention_every:
+                # retention sweeps refuse mid-bootstrap (deleted-key
+                # resurrection hazard) — a cadence tick would crash the run
+                raise SystemExit(
+                    "--bootstrap-snapshot cannot be combined with --retention-every; "
+                    "run retention after the bootstrap completes"
+                )
+            from digital_analytics_data_platform_spark.streaming.bootstrap import (
+                bootstrap_stream,
+            )
+
+            bs_kw = dict(stream_kw)
+            _, metrics, chunk_results = bootstrap_stream(
+                spark,
+                spark.read.parquet(args.bootstrap_snapshot),
+                source,
+                bronze_path,
+                args.checkpoint_dir,
+                snapshot_lsn=args.bootstrap_lsn,
+                chunks=args.bootstrap_chunks,
+                versioned=args.bootstrap_versioned,
+                strategy=bs_kw.pop("strategy"),
+                write_salt=bs_kw.pop("write_salt"),
+                **bs_kw,
+            )
+        else:
+            _, metrics = apply_stream(
+                spark,
+                source,
+                bronze_path,
+                args.checkpoint_dir,
+                # block in BOTH trigger modes: a processingTime tail that
+                # returns would exit the process and kill the stream
+                await_termination=True,
+                **stream_kw,
+            )
         out = {
             "mode": "bronze-only",
             "batches": metrics.batches,
@@ -276,6 +320,9 @@ def main(argv: list[str] | None = None) -> dict:
             "wall_s": round(metrics.wall_s, 3),
             "events_per_sec": round(metrics.events_per_sec, 1),
         }
+        if chunk_results is not None:
+            out["bootstrap_chunks"] = len(chunk_results)
+            out["bootstrap_chunks_applied"] = sum(1 for r in chunk_results if not r.skipped)
         if args.expire_every:
             out["expired_snapshots"] = metrics.expired_snapshots
             out["gc_deleted_files"] = metrics.gc_deleted_files

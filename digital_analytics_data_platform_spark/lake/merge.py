@@ -895,6 +895,7 @@ def _replace_full_once(
     if batch_key is not None and batch_key in ledger:
         return MergeResult(version=snap.version, skipped=True)
 
+    df, _mapping_update = _to_physical_batch(df, snap)  # logical → physical binding
     table_fields = _business_fields(snap.schema())
     evolved_fields = evolve_fields(table_fields, df.schema, key_cols)
     evolved_schema = T.StructType(
@@ -1030,6 +1031,8 @@ def _reconcile_backfill_once(
     ledger: dict[str, Any] = dict(snap.props.get(_LEDGER_KEY, {}))
     if batch_key is not None and batch_key in ledger:
         return MergeResult(version=snap.version, skipped=True)
+
+    corrected, _mapping_update = _to_physical_batch(corrected, snap)  # logical → physical
 
     # precondition ASSERT: every corrected event lies inside the window
     n_outside = corrected.filter((F.col(tcol) < F.lit(start)) | (F.col(tcol) >= F.lit(end))).limit(1).count()

@@ -193,6 +193,38 @@ def test_pruning_params_speak_logical_names(spark, make_table):
     assert tbl.read_point(spark, "c1").first()["content"] == "v"
 
 
+def test_replace_full_and_reconcile_speak_logical(spark, make_table):
+    """The full-rebuild and window-reconcile paths translate incoming
+    logical-named frames exactly like MERGE does."""
+    import datetime
+
+    from digital_analytics_data_platform_spark.lake.merge import (
+        reconcile_backfill,
+        replace_full,
+    )
+
+    tbl = make_table("rfrc")
+    merge_changes(
+        spark, tbl, cdc_rows(spark, [("U", "c1", 0, "user", "v1", None, 10, 1)]),
+        batch_key="b0", strategy="mor",
+    )
+    tbl.rename_column("text", "content")
+
+    rebuilt = cdc_rows(spark, [("U", "c1", 0, "user", "rebuilt", None, 10, 1)]).withColumnRenamed(
+        "text", "content"
+    )
+    replace_full(spark, tbl, rebuilt, batch_key="rf")
+    assert _texts(tbl, spark, "content")[("c1", 0)] == "rebuilt"
+
+    window = cdc_rows(spark, [("U", "c1", 0, "user", "reconciled", None, 15, 9)]).withColumnRenamed(
+        "text", "content"
+    )
+    start = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    end = datetime.datetime(2026, 1, 1, 1, 0, 0)
+    reconcile_backfill(spark, tbl, window, start, end, batch_key="rc")
+    assert _texts(tbl, spark, "content")[("c1", 0)] == "reconciled"
+
+
 def test_rename_back_restores_identity_mapping(spark, make_table):
     tbl = make_table("renback")
     merge_changes(

@@ -1123,6 +1123,79 @@ def window_file_buckets(snap, tcol: str, start, end) -> set:
     }
 
 
+def delete_where(
+    spark: SparkSession,
+    table: LakeTable,
+    predicate,
+    *,
+    batch_key: str | None = None,
+    strategy: str = "mor",
+    write_salt: int = 1,
+    conflict_retries: int = 0,
+) -> MergeResult:
+    """Row-level predicate DELETE (the GDPR / right-to-erasure shape:
+    ``DELETE FROM t WHERE <predicate>``) — implemented as ordinary
+    tombstone EVENTS through the merge kernel rather than a file
+    rewrite, so the deletes are **changelog-visible**: the CDC-out
+    relay propagates them downstream, IVM marts retract the deleted
+    contributions on their next sync, SCD2-style consumers see a real
+    change — none of which a physical sweep (``retention_truncate``)
+    can provide. Physical reclaim of both the tombstones and the dead
+    payload bytes follows via the normal ``compact`` →
+    ``expire_tombstones`` → ``expire_snapshots`` maintenance chain.
+
+    Order synthesis: each matched LIVE winner gets a delete event at
+    ``(its own ts, del_lsn)`` where ``del_lsn`` = 1 + max(lsn ever
+    ingested) — from the manifest's per-file lsn stats and the
+    ``max_commit_lsn`` prop, no data scan — so the tombstone beats the
+    winner it deletes (same ts, higher lsn) while any LATER feed event
+    (higher lsn still... or a higher ts) reinstates the key normally.
+    A replay of the same ``batch_key`` is a ledger no-op; the matched
+    scan prunes through the normal read path (predicate pushdown +
+    stats/bloom tiers apply).
+
+    ``predicate``: a Column or SQL string over the table's LOGICAL
+    columns. Returns the underlying MERGE's result (``deletes`` =
+    matched rows)."""
+    snap = table.snapshot()
+    lsn_col = snap.order_cols[-1]
+    ts_col = snap.order_cols[0]
+    max_lsn = int(snap.props.get("max_commit_lsn", 0) or 0)
+    for f_ in snap.files:
+        v = f_.get(f"max_{lsn_col}")
+        if v is not None:
+            max_lsn = max(max_lsn, int(v))
+    del_lsn = max_lsn + 1
+
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    matched = table.read(spark).filter(pred)
+    business = [f_.name for f_ in snap.schema().fields if f_.name != DELETED_COL]
+    key_set = set(snap.key_cols)
+    events = matched.select(
+        F.lit("D").alias("op"),
+        *[
+            (
+                F.col(snap.logical_of(c) or c)
+                if c in key_set or c == ts_col
+                else F.lit(None).cast(snap.schema()[c].dataType)
+            ).alias(snap.logical_of(c) or c)
+            for c in business
+            if snap.logical_of(c) is not None or c in key_set or c in snap.order_cols
+        ],
+    ).withColumn(lsn_col, F.lit(del_lsn).cast("long")).withColumn(
+        "commit_lsn", F.lit(del_lsn).cast("long")
+    )
+    return merge_changes(
+        spark,
+        table,
+        events,
+        batch_key=batch_key,
+        strategy=strategy,
+        write_salt=write_salt,
+        conflict_retries=conflict_retries,
+    )
+
+
 def expire_tombstones(
     spark: SparkSession, table: LakeTable, *, older_than_lsn: int, conflict_retries: int = 0
 ) -> int:

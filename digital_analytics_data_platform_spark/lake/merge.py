@@ -263,14 +263,25 @@ def merge_changes(
     for the full semantics. ``conflict_retries`` adds optimistic-concurrency
     retry: every commit validates ``expected_version`` against the snapshot
     the merge was computed from, so a concurrent writer (another apply, a
-    compaction, a reconcile backfill) surfaces as :class:`CommitConflict`;
-    each retry RE-RUNS the whole merge against the refreshed snapshot —
-    never a blind rebase, because the ledger / ``max_commit_lsn`` /
-    ``delta_buckets`` props are read-modify-write and a stale rebase would
-    clobber the interleaved writer's bookkeeping. Safe to retry: the failed
-    attempt never entered the ledger, and read-time LWW makes a replayed
-    batch idempotent. (Data files staged by the failed attempt become
-    orphans; ``remove_orphan_files`` reclaims them.)"""
+    compaction, a reconcile backfill) surfaces as :class:`CommitConflict`.
+
+    Conflict cost depends on the strategy. **COW** retries RE-RUN the
+    whole merge against the refreshed snapshot — the rewritten bucket
+    files depend on table state, so nothing can be salvaged (staged
+    files of the failed attempt become orphans; ``remove_orphan_files``
+    reclaims them). **MOR** losers REBASE instead of re-running: the
+    batch's delta files are computed from the batch alone, so the loser
+    re-reads the head, recomputes only the bookkeeping (ledger /
+    ``max_commit_lsn`` / ``delta_buckets`` / evolved schema /
+    ``column_mapping``) against it, and re-offers the SAME files —
+    O(manifest read + props commit) per lost race, which is what makes
+    concurrent writers (a second pipeline, snapshot-bootstrap chunks, a
+    background compactor) cheap. A rebase is never blind: every prop is
+    recomputed from the fresh head, a concurrently-landed identical
+    ``batch_key`` turns into a clean skip (duplicate files deleted),
+    and a concurrent bucket-spec rescale falls back to the full re-run.
+    Safe either way: the failed attempt never entered the ledger, and
+    read-time LWW makes a replayed batch idempotent."""
     attempt = 0
     while True:
         try:
@@ -284,6 +295,7 @@ def merge_changes(
                 strategy=strategy,
                 max_ts=max_ts,
                 extra_props=extra_props,
+                conflict_retries=conflict_retries,
             )
         except CommitConflict:
             if attempt >= conflict_retries:
@@ -302,6 +314,7 @@ def _merge_changes_once(
     strategy: str = "cow",
     max_ts=None,
     extra_props: dict | None = None,
+    conflict_retries: int = 0,
 ) -> MergeResult:
     """Apply one micro-batch of CDC events (schema: key cols + payload +
     order cols + optional ``op``/``commit_lsn``) to ``table``.
@@ -390,7 +403,8 @@ def _merge_changes_once(
         return _merge_mor(
             spark, table, staged, snap, evolved_fields, evolved_schema, ledger,
             batch_key, write_salt, quarantine, fp_expr, commit_expr, t0, phases,
-            extra_props=extra_props, mapping_props=mapping_props,
+            extra_props=extra_props, mapping_update=mapping_update,
+            commit_rebase_retries=conflict_retries,
         )
 
     staged.persist(StorageLevel.MEMORY_AND_DISK)
@@ -549,7 +563,7 @@ def _merge_changes_once(
 def _merge_mor(
     spark, table, staged, snap, evolved_fields, evolved_schema, ledger,
     batch_key, write_salt, quarantine, fp_expr, commit_expr, t0, phases,
-    extra_props=None, mapping_props=None,
+    extra_props=None, mapping_update=None, commit_rebase_retries=0,
 ):
     """Append-only merge-on-read apply: collapse the batch alone, append
     winners as bucketed delta files. No read of existing data — apply
@@ -646,18 +660,35 @@ def _merge_mor(
     affected = sorted(per_bucket)
 
     if not affected:
-        res = _ledger_only_commit(
-            table, snap.version, ledger, batch_key, fingerprint, max_commit, extra_props=extra_props
-        )
+        head, head_ledger = snap, ledger
+        for attempt in range(max(commit_rebase_retries, 0) + 1):
+            if head is not snap:
+                head_ledger = dict(head.props.get(_LEDGER_KEY, {}))
+                if batch_key is not None and batch_key in head_ledger:
+                    return MergeResult(
+                        version=head.version, skipped=True, events_in=events_in,
+                        quarantined=n_quarantined, strategy="mor",
+                        wall_s=time.monotonic() - t0,
+                    )
+            try:
+                res = _ledger_only_commit(
+                    table, head.version, dict(head_ledger), batch_key, fingerprint,
+                    max_commit, extra_props=extra_props,
+                )
+                break
+            except CommitConflict:
+                if attempt >= commit_rebase_retries:
+                    raise
+                head = table.snapshot()
         res.events_in, res.quarantined = events_in, n_quarantined
         res.strategy = "mor"
         res.wall_s = time.monotonic() - t0
         return res
 
-    delta_buckets = dict(snap.props.get("delta_buckets", {}))
+    delta_increments: dict[str, int] = {}
     for f_ in new_files:
         b = str(f_["bucket"])
-        delta_buckets[b] = delta_buckets.get(b, 0) + 1
+        delta_increments[b] = delta_increments.get(b, 0) + 1
     lineage = [
         {
             "bucket": b,
@@ -668,24 +699,84 @@ def _merge_mor(
         }
         for b, d in sorted(per_bucket.items())
     ]
-    table.commit(
-        new_files=new_files,
-        replaced_buckets=(),
-        expected_version=snap.version,
-        schema=evolved_schema,
-        props_update={
-            _LEDGER_KEY: _trim_ledger(ledger, batch_key, fingerprint, max_commit),
-            "max_commit_lsn": max(max_commit, int(snap.props.get("max_commit_lsn", 0))),
+
+    # ---- commit, with cheap CONFLICT REBASE ------------------------------
+    # A MOR batch's data files are computed from the batch ALONE — a lost
+    # commit CAS invalidates only the bookkeeping (ledger / delta_buckets /
+    # max_commit_lsn / schema / column_mapping), which was read against a
+    # stale head. So a loser does not re-run the batch: it re-reads the
+    # head, recomputes the bookkeeping against it, and re-offers the SAME
+    # files — O(one manifest read + one props commit) per lost race instead
+    # of O(batch recompute + rewrite). This is what makes N concurrent
+    # writers on one table (second pipeline, snapshot-bootstrap chunks,
+    # compactor) cheap. Falls back to the outer full re-run when the head's
+    # BUCKET SPEC changed (a rescale landed: our files' bucket ids are
+    # meaningless under the new spec), and skips cleanly when another
+    # writer landed this very batch_key first (duplicate staged files are
+    # deleted, not orphaned). Concurrent schema evolution re-merges via
+    # evolve_fields — incompatible concurrent type changes stay loud.
+    head = snap
+    head_ledger = ledger
+    for attempt in range(max(commit_rebase_retries, 0) + 1):
+        if head is not snap:
+            if head.n_buckets != snap.n_buckets:
+                for f_ in new_files:
+                    try:
+                        os.remove(os.path.join(table.path, f_["path"]))
+                    except OSError:
+                        pass
+                raise CommitConflict(
+                    "bucket spec changed under a MOR commit; full re-run required"
+                )
+            head_ledger = dict(head.props.get(_LEDGER_KEY, {}))
+            if batch_key is not None and batch_key in head_ledger:
+                for f_ in new_files:
+                    try:
+                        os.remove(os.path.join(table.path, f_["path"]))
+                    except OSError:
+                        pass
+                return MergeResult(
+                    version=head.version, skipped=True, events_in=events_in,
+                    quarantined=n_quarantined, strategy="mor",
+                    wall_s=time.monotonic() - t0,
+                )
+        final_fields = evolve_fields(_business_fields(head.schema()), T.StructType(evolved_fields), snap.key_cols)
+        final_schema = T.StructType(
+            final_fields + [T.StructField(DELETED_COL, T.BooleanType(), False)]
+        )
+        delta_buckets = dict(head.props.get("delta_buckets", {}))
+        for b, n_inc in delta_increments.items():
+            delta_buckets[b] = delta_buckets.get(b, 0) + n_inc
+        props = {
+            _LEDGER_KEY: _trim_ledger(dict(head_ledger), batch_key, fingerprint, max_commit),
+            "max_commit_lsn": max(max_commit, int(head.props.get("max_commit_lsn", 0))),
             "delta_buckets": delta_buckets,
-            **(mapping_props or {}),
+            **(
+                {"column_mapping": {**head.props.get("column_mapping", {}), **mapping_update}}
+                if mapping_update
+                else {}
+            ),
             **(extra_props or {}),
-        },
-        lineage=lineage,
-    )
+        }
+        try:
+            table.commit(
+                new_files=new_files,
+                replaced_buckets=(),
+                expected_version=head.version,
+                schema=final_schema,
+                props_update=props,
+                lineage=lineage,
+            )
+            committed_version = head.version + 1
+            break
+        except CommitConflict:
+            if attempt >= commit_rebase_retries:
+                raise
+            head = table.snapshot()
     deletes = sum(r["deletes"] for r in lineage)
     keys = sum(r["keys"] for r in lineage)
     res = MergeResult(
-        version=snap.version + 1,
+        version=committed_version,
         events_in=events_in,
         quarantined=n_quarantined,
         deletes=deletes,

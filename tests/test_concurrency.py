@@ -341,3 +341,83 @@ def test_scd2_and_patch_apply_retry_through_conflict(spark, tmp_path, monkeypatc
     monkeypatch.undo()
     assert c2["n"] == 1
     assert {r["uid"] for r in pt.read(spark).collect()} == {"u1"}
+
+
+def test_mor_conflict_rebases_without_rerunning_the_batch(spark, make_table, monkeypatch):
+    """A MOR loser must NOT recompute/rewrite its delta files: the rebase
+    re-reads the head, recomputes bookkeeping, re-offers the SAME files.
+    Pinned by counting write_data_files calls (exactly one) across a
+    lost CAS, and by both writers' data + ledger entries surviving."""
+    tbl = make_table()
+    merge_changes(
+        spark, tbl, cdc_rows(spark, [("I", "c1", 0, "user", "a", None, 10, 1)]),
+        batch_key="b1", strategy="mor",
+    )
+
+    real_commit = LakeTable.commit
+    real_write = LakeTable.write_data_files
+    counts = {"commit_races": 0, "writes": 0}
+
+    def counting_write(self, *a, **kw):
+        counts["writes"] += 1
+        return real_write(self, *a, **kw)
+
+    def racing_commit(self, **kw):
+        if counts["commit_races"] == 0 and kw.get("new_files"):
+            counts["commit_races"] = 1
+            monkeypatch.setattr(LakeTable, "write_data_files", real_write)
+            merge_changes(
+                spark, tbl, cdc_rows(spark, [("I", "c2", 0, "user", "b", None, 20, 2)]),
+                batch_key="b2", strategy="mor",
+            )
+            monkeypatch.setattr(LakeTable, "write_data_files", counting_write)
+        return real_commit(self, **kw)
+
+    monkeypatch.setattr(LakeTable, "write_data_files", counting_write)
+    monkeypatch.setattr(LakeTable, "commit", racing_commit)
+    res = merge_changes(
+        spark, tbl, cdc_rows(spark, [("I", "c3", 0, "user", "c", None, 30, 3)]),
+        batch_key="b3", strategy="mor", conflict_retries=2,
+    )
+    monkeypatch.undo()
+    assert not res.skipped and counts["commit_races"] == 1
+    assert counts["writes"] == 1, "MOR conflict loser re-ran its batch write"
+    state = {r["conv_id"]: r["text"] for r in tbl.read(spark).collect()}
+    assert state == {"c1": "a", "c2": "b", "c3": "c"}
+    assert {"b1", "b2", "b3"} <= set(tbl.snapshot().props["ledger"])
+
+
+def test_mor_conflict_with_duplicate_batch_key_skips_and_cleans_up(
+    spark, make_table, monkeypatch
+):
+    """If ANOTHER writer lands the very same batch_key while we race, the
+    rebase turns into a clean skip and our duplicate staged files are
+    deleted, not orphaned."""
+    import glob
+
+    tbl = make_table()
+    batch = cdc_rows(spark, [("I", "c1", 0, "user", "a", None, 10, 1)])
+
+    real_commit = LakeTable.commit
+    fired = {"n": 0}
+
+    def racing_commit(self, **kw):
+        if fired["n"] == 0 and kw.get("new_files"):
+            fired["n"] = 1
+            merge_changes(spark, tbl, batch, batch_key="dup", strategy="mor")
+        return real_commit(self, **kw)
+
+    monkeypatch.setattr(LakeTable, "commit", racing_commit)
+    res = merge_changes(
+        spark, tbl, batch, batch_key="dup", strategy="mor", conflict_retries=2
+    )
+    monkeypatch.undo()
+    assert res.skipped and fired["n"] == 1
+    assert tbl.read(spark).count() == 1
+    # no orphaned duplicate delta files on disk beyond the manifest's
+    manifest_files = {f["path"] for f in tbl.snapshot().files}
+    on_disk = {
+        os.path.relpath(p, tbl.path)
+        for p in glob.glob(os.path.join(tbl.path, "data", "**", "*.parquet"), recursive=True)
+    }
+    assert on_disk <= manifest_files, f"orphans left: {on_disk - manifest_files}"

@@ -171,6 +171,7 @@ class Scd2Table:
                     write_salt=write_salt,
                     quarantine=quarantine,
                     max_ts=max_ts,
+                    commit_rebase_retries=conflict_retries,
                 )
             except CommitConflict:
                 if attempt >= conflict_retries:
@@ -186,10 +187,16 @@ class Scd2Table:
         write_salt: int = 1,
         quarantine: bool = True,
         max_ts=None,
+        commit_rebase_retries: int = 0,
     ) -> int:
         """Append one micro-batch of raw change events. O(batch): no
         existing file is read or rewritten. Returns the new snapshot
-        version (or the current one on a ledger skip)."""
+        version (or the current one on a ledger skip).
+
+        Conflict REBASE (same as the MOR merge kernel): the appended
+        files are computed from the batch alone, so a lost commit CAS
+        re-reads the head, recomputes only the ledger/schema against it
+        and re-offers the SAME files — never a batch re-run."""
         t0 = time.monotonic()
         snap = self.table.snapshot()
         ledger: dict[str, Any] = dict(snap.props.get(_SCD2_LEDGER_KEY, {}))
@@ -238,17 +245,52 @@ class Scd2Table:
                     os.rename(src, os.path.join(qdir, os.path.basename(e["path"])))
                 else:
                     os.remove(src)
-        self.table.commit(
-            new_files=entries,
-            expected_version=snap.version,
-            schema=evolved_schema,
-            props_update={
-                _SCD2_LEDGER_KEY: _trim_ledger(ledger, batch_key, 0, 0),
-                "delta_buckets": False,  # raw events; reads must NOT LWW-collapse
-            },
-            lineage=[{"batch_key": batch_key, "wall_s": round(time.monotonic() - t0, 3)}],
-        )
-        return snap.version + 1
+        from ..lake.table import CommitConflict
+
+        head, head_ledger = snap, ledger
+        while True:
+            if head is not snap:
+                if head.n_buckets != snap.n_buckets:
+                    for e in entries:
+                        try:
+                            os.remove(os.path.join(self.table.path, e["path"]))
+                        except OSError:
+                            pass
+                    raise CommitConflict("bucket spec changed under an SCD2 append")
+                head_ledger = dict(head.props.get(_SCD2_LEDGER_KEY, {}))
+                if batch_key is not None and batch_key in head_ledger:
+                    for e in entries:
+                        try:
+                            os.remove(os.path.join(self.table.path, e["path"]))
+                        except OSError:
+                            pass
+                    return head.version
+            final_fields = evolve_fields(
+                [f for f in head.schema().fields if f.name != DELETED_COL],
+                T.StructType(evolved_fields),
+                key_cols,
+                exclude=(),
+            )
+            final_schema = T.StructType(
+                final_fields + [T.StructField(DELETED_COL, T.BooleanType(), False)]
+            )
+            try:
+                self.table.commit(
+                    new_files=entries,
+                    expected_version=head.version,
+                    schema=final_schema,
+                    props_update={
+                        _SCD2_LEDGER_KEY: _trim_ledger(dict(head_ledger), batch_key, 0, 0),
+                        "delta_buckets": False,  # raw events; reads must NOT LWW-collapse
+                    },
+                    lineage=[{"batch_key": batch_key, "wall_s": round(time.monotonic() - t0, 3)}],
+                )
+                return head.version + 1
+            except CommitConflict:
+                if commit_rebase_retries <= 0:
+                    raise
+                commit_rebase_retries -= 1
+                head = self.table.snapshot()
 
 
     # -- read --------------------------------------------------------

@@ -201,3 +201,34 @@ def test_changelog_key_semijoin_broadcasts_small_windows(spark, make_table):
     big = tbl.read_changes(spark, since_version=v1, broadcast_keys_max_rows=0)
     assert "ResolvedHint" in small._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in big._jdf.queryExecution().analyzed().toString()
+
+
+def test_logical_mapping_keeps_pushdown_and_identity_is_free(spark, make_table):
+    """S33 scale guard: after a metadata-only rename, a filter on the
+    LOGICAL column name must still reach the parquet scan as a pushed
+    filter on the PHYSICAL column (Catalyst pushes through the alias
+    projection) — and an identity mapping must add NO plan nodes at all
+    (read() returns the untouched frame)."""
+    from digital_analytics_data_platform_spark.lake.merge import compact, merge_changes
+    from tests.conftest import cdc_rows
+
+    tbl = make_table("planmap")
+    merge_changes(
+        spark, tbl,
+        cdc_rows(spark, [("U", "c1", 0, "user", "hello", None, 10, 1)]),
+        batch_key="b0", strategy="mor",
+    )
+    assert tbl.snapshot().mapping() == {}  # identity: projection short-circuits
+
+    # compact so the read has no LWW collapse — a payload filter can
+    # never push below the collapse (it could promote a loser version),
+    # so the pushdown claim is about the canonical-file read path
+    compact(spark, tbl)
+    tbl.rename_column("text", "content")
+    q = tbl.read(spark).filter(F.col("content") == "hello").select("conv_id", "content")
+    plan = _explain(q)
+    # pushed down under the PHYSICAL name, projected out as the logical,
+    # and the read schema pruned to exactly the touched physical columns
+    assert "EqualTo(text,hello)" in plan, plan
+    assert "ReadSchema: struct<conv_id:string,text:string,_deleted:boolean>" in plan, plan
+    assert q.count() == 1

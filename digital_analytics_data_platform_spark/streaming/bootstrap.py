@@ -335,6 +335,11 @@ def bootstrap_stream(
     consistency point; a versioned snapshot tolerates arbitrary
     overlap, so the tail passes through unfiltered.
 
+    An optional SCD2 history sink (``history_path=…`` passthrough)
+    records only TAILED events: snapshot chunks are state, not history
+    — the Type-2 chain legitimately begins at the bootstrap point,
+    exactly like enabling CDC on a pre-existing source table.
+
     Returns ``(query, metrics, chunk_results)``."""
     from .runner import apply_stream
 

@@ -421,3 +421,44 @@ def test_mor_conflict_with_duplicate_batch_key_skips_and_cleans_up(
         for p in glob.glob(os.path.join(tbl.path, "data", "**", "*.parquet"), recursive=True)
     }
     assert on_disk <= manifest_files, f"orphans left: {on_disk - manifest_files}"
+
+
+def test_mor_rebase_merges_concurrent_schema_evolution(spark, make_table, monkeypatch):
+    """Two writers evolving DIFFERENT columns race: the loser's rebase
+    must re-merge schemas against the fresh head so BOTH new columns
+    land, with both writers' values intact."""
+    from pyspark.sql import functions as F
+
+    tbl = make_table()
+    merge_changes(
+        spark, tbl, cdc_rows(spark, [("I", "c0", 0, "user", "seed", None, 5, 1)]),
+        batch_key="b0", strategy="mor",
+    )
+
+    with_x = cdc_rows(spark, [("I", "c1", 0, "user", "a", None, 10, 2)]).withColumn(
+        "x_col", F.lit(7).cast("long")
+    )
+    with_y = cdc_rows(spark, [("I", "c2", 0, "user", "b", None, 20, 3)]).withColumn(
+        "y_col", F.lit("why")
+    )
+
+    real_commit = LakeTable.commit
+    fired = {"n": 0}
+
+    def racing_commit(self, **kw):
+        if fired["n"] == 0 and kw.get("new_files"):
+            fired["n"] = 1
+            merge_changes(spark, tbl, with_x, batch_key="bx", strategy="mor")
+        return real_commit(self, **kw)
+
+    monkeypatch.setattr(LakeTable, "commit", racing_commit)
+    res = merge_changes(spark, tbl, with_y, batch_key="by", strategy="mor", conflict_retries=2)
+    monkeypatch.undo()
+    assert not res.skipped and fired["n"] == 1
+
+    cols = set(tbl.read(spark).columns)
+    assert {"x_col", "y_col"} <= cols, f"concurrent evolution lost a column: {cols}"
+    rows = {r["conv_id"]: (r["x_col"], r["y_col"]) for r in tbl.read(spark).collect()}
+    assert rows["c1"] == (7, None)
+    assert rows["c2"] == (None, "why")
+    assert rows["c0"] == (None, None)

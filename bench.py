@@ -348,12 +348,17 @@ def run_pipeline_bench(spark, n_events: int, n_batches: int, n_buckets: int) -> 
     # parallelism (floor 50% of raw wall — the adjustment is a bound,
     # not a claim of a perfectly clean machine)
     adj_wall = max(med - med_steal / cpus, 0.5 * med)
-    # validity is judged on the REPORTED batch (the median), with a
-    # bound proportional to that batch's cpu-time: the absolute
-    # STEAL_VALID_CPU_S gate is calibrated for the ~seconds-long apply
-    # batches; a 1M-event medallion batch runs ~40 s x 32 cpus, where
-    # 5 cpu-s is 0.4% noise — 2% of cpu-time is the honest line
+    # validity gates EVERY batch, each against a bound proportional to
+    # its own cpu-time: the absolute STEAL_VALID_CPU_S gate is
+    # calibrated for the ~seconds-long apply batches; a 1M-event
+    # medallion batch runs ~40 s x 32 cpus, where 5 cpu-s is 0.4%
+    # noise — 2% of cpu-time is the honest line. Gating only the
+    # median batch would let a run whose other batches were heavily
+    # stolen still stamp valid (r4 ADVICE).
     steal_bound = max(STEAL_VALID_CPU_S, 0.02 * med * cpus)
+    all_valid = all(
+        s <= max(STEAL_VALID_CPU_S, 0.02 * w * cpus) for w, s in zip(walls, steals)
+    )
     return {
         "pipeline_events": n_events,
         "pipeline_batches": n_batches,
@@ -362,7 +367,7 @@ def run_pipeline_bench(spark, n_events: int, n_batches: int, n_buckets: int) -> 
         "pipeline_events_per_sec_median": round(per_batch_events / med, 1),
         "pipeline_events_per_sec_steal_adj": round(per_batch_events / adj_wall, 1),
         "pipeline_steal_bound_cpu_s": round(steal_bound, 1),
-        "pipeline_steal_valid": med_steal <= steal_bound,
+        "pipeline_steal_valid": all_valid,
     }
 
 

@@ -728,6 +728,21 @@ def _merge_mor(
                 raise CommitConflict(
                     "bucket spec changed under a MOR commit; full re-run required"
                 )
+            if head.props.get("column_mapping", {}) != snap.props.get("column_mapping", {}):
+                # our staged files bound logical→physical names against the
+                # stale snapshot's mapping; if a concurrent rename/drop
+                # landed, re-offering them would write values into a
+                # just-retired physical column (silently invisible) instead
+                # of the fresh physical a post-drop apply would allocate.
+                # Same remedy as a bucket-spec change: full re-run.
+                for f_ in new_files:
+                    try:
+                        os.remove(os.path.join(table.path, f_["path"]))
+                    except OSError:
+                        pass
+                raise CommitConflict(
+                    "column mapping changed under a MOR commit; full re-run required"
+                )
             head_ledger = dict(head.props.get(_LEDGER_KEY, {}))
             if batch_key is not None and batch_key in head_ledger:
                 for f_ in new_files:
@@ -986,7 +1001,16 @@ def _replace_full_once(
     if batch_key is not None and batch_key in ledger:
         return MergeResult(version=snap.version, skipped=True)
 
-    df, _mapping_update = _to_physical_batch(df, snap)  # logical → physical binding
+    df, mapping_update = _to_physical_batch(df, snap)  # logical → physical binding
+    # mapping additions (a batch re-adding a previously dropped logical
+    # column gets a fresh physical name) must ride THIS commit, same as
+    # the MERGE COW/MOR paths — dropping them forks the logical column
+    # across physical columns on the next write.
+    mapping_props = (
+        {"column_mapping": {**snap.props.get("column_mapping", {}), **mapping_update}}
+        if mapping_update
+        else {}
+    )
     table_fields = _business_fields(snap.schema())
     evolved_fields = evolve_fields(table_fields, df.schema, key_cols)
     evolved_schema = T.StructType(
@@ -1014,6 +1038,7 @@ def _replace_full_once(
         props_update={
             _LEDGER_KEY: _trim_ledger(ledger, batch_key, 0, 0),
             "delta_buckets": {},
+            **mapping_props,
         },
         lineage=[{"mode": "replace_full"}],
     )
@@ -1123,7 +1148,13 @@ def _reconcile_backfill_once(
     if batch_key is not None and batch_key in ledger:
         return MergeResult(version=snap.version, skipped=True)
 
-    corrected, _mapping_update = _to_physical_batch(corrected, snap)  # logical → physical
+    corrected, mapping_update = _to_physical_batch(corrected, snap)  # logical → physical
+    # same contract as replace_full: mapping additions ride the commit
+    mapping_props = (
+        {"column_mapping": {**snap.props.get("column_mapping", {}), **mapping_update}}
+        if mapping_update
+        else {}
+    )
 
     # precondition ASSERT: every corrected event lies inside the window
     n_outside = corrected.filter((F.col(tcol) < F.lit(start)) | (F.col(tcol) >= F.lit(end))).limit(1).count()
@@ -1160,7 +1191,9 @@ def _reconcile_backfill_once(
         }
         affected = sorted(key_buckets | window_file_buckets(snap, tcol, start, end))
         if not affected:
-            res = _ledger_only_commit(table, snap.version, ledger, batch_key, 0, 0)
+            res = _ledger_only_commit(
+                table, snap.version, ledger, batch_key, 0, 0, extra_props=mapping_props or None
+            )
             res.strategy = "reconcile"
             return res
 
@@ -1185,6 +1218,7 @@ def _reconcile_backfill_once(
             props_update={
                 _LEDGER_KEY: _trim_ledger(ledger, batch_key, 0, 0),
                 "delta_buckets": delta_buckets,
+                **mapping_props,
             },
             lineage=[{"mode": "reconcile", "window": [str(start), str(end)], "buckets": affected}],
         )

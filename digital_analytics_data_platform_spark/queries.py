@@ -1954,7 +1954,7 @@ SQL_STREAM_EVENTS_ROLLUP = """
 WITH wm AS (SELECT max(ts) - INTERVAL 45 MINUTE AS w FROM events),
 b AS (
   SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
-         count(*) AS n_events, sum(event_id % 97) AS checksum
+         count(*) AS n_events, sum(event_id % 97)::BIGINT AS checksum
   FROM events GROUP BY 1, 2
 )
 SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -2380,10 +2380,8 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t1_ordered_page": q_t1_ordered_page,
     "t3_union_normalize": q_t3_union_normalize,
     "t6_unpivot": q_t6_unpivot,
-    "t9_except_intersect": q_t9_except_intersect,
     "t10_date_spine": q_t10_date_spine,
     "p_defensive_projection": q_p_defensive_projection,
-    "p8_null_key_sentinel": q_p8_null_key_sentinel,
     "p10_date_functions": q_p10_date_functions,
     "p11_math_scalars": q_p11_math_scalars,
     "qgp_week": q_qgp_week,
@@ -2404,6 +2402,12 @@ REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_portable": q_minhash_portable,
     "simhash_portable": q_simhash_portable,
     "embedding_near_dups_portable": q_embedding_near_dups_portable,
+    # r4 verdict ask #4: S16 (patch merge) and §2.9 sessions promoted
+    # into the driver window; the displaced QA-scratch idioms
+    # (t9_except_intersect, p8_null_key_sentinel) keep their oracles in
+    # EXTRA_ORACLES, exercised by tests/test_registry_extras.py.
+    "patch_merge": q_patch_merge,
+    "session_rollup": q_session_rollup,
 }
 
 # Callables dropped from the 50-row driver window but still first-class
@@ -2430,9 +2434,9 @@ PYTEST_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,  # fake-decode plumbing; real codecs in REGISTRY
     "multimodal_png": q_multimodal_png,  # merged into multimodal_roundtrip
     "multimodal_jpeg": q_multimodal_jpeg,  # merged into multimodal_roundtrip
-    "patch_merge": q_patch_merge,  # oracle-checked in pytest (EXTRA_ORACLES)
-    "session_rollup": q_session_rollup,  # oracle-checked in pytest (EXTRA_ORACLES)
     "session_ids": q_session_ids,  # oracle-checked in pytest (EXTRA_ORACLES)
+    "t9_except_intersect": q_t9_except_intersect,  # QA-scratch idiom; slot ceded to patch_merge (r5)
+    "p8_null_key_sentinel": q_p8_null_key_sentinel,  # 6-row idiom; slot ceded to session_rollup (r5)
 }
 
 # Oracles for PYTEST_ONLY entries: same DuckDB gate, run by
@@ -2440,9 +2444,9 @@ PYTEST_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # window is full). Evidence strength is identical — exact value
 # compare at sf0.001 and sf0.01.
 EXTRA_ORACLES: dict[str, str] = {
-    "patch_merge": SQL_PATCH_MERGE,
-    "session_rollup": SQL_SESSION_ROLLUP,
     "session_ids": SQL_SESSION_IDS,
+    "t9_except_intersect": SQL_T9,
+    "p8_null_key_sentinel": SQL_P8,
 }
 
 ORACLES: dict[str, str] = {
@@ -2466,9 +2470,7 @@ ORACLES: dict[str, str] = {
     "j7_latest_semijoin": SQL_J7,
     "anti_semi_join": SQL_ANTI_SEMI,
     "t6_unpivot": SQL_T6,
-    "t9_except_intersect": SQL_T9,
     "p_defensive_projection": SQL_P,
-    "p8_null_key_sentinel": SQL_P8,
     "p11_math_scalars": SQL_P11,
     "t1_ordered_page": SQL_T1,
     "qgp_week": SQL_QGP,
@@ -2496,4 +2498,6 @@ ORACLES: dict[str, str] = {
     "debezium_roundtrip": SQL_DEBEZIUM_ROUNDTRIP,
     "multimodal_roundtrip": SQL_MULTIMODAL_ROUNDTRIP,
     "scd2_history": SQL_SCD2,
+    "patch_merge": SQL_PATCH_MERGE,
+    "session_rollup": SQL_SESSION_ROLLUP,
 }

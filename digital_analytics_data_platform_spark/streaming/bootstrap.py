@@ -345,7 +345,14 @@ def bootstrap_stream(
 
     table = LakeTable.load(table_path)
     t_start = time.monotonic()
-    tail = source if versioned else source.filter(F.col("lsn") >= F.lit(int(snapshot_lsn)))
+    # the tail filter binds to the TABLE's commit-order column, not a
+    # literal 'lsn' — apply_snapshot_chunks parameterizes order_cols
+    # from the snapshot the same way, and a table whose last order
+    # column has another name would otherwise break (AnalysisException
+    # or, worse, an unfiltered tail violating the unversioned-exactness
+    # precondition).
+    order_col = table.snapshot().order_cols[-1]
+    tail = source if versioned else source.filter(F.col(order_col) >= F.lit(int(snapshot_lsn)))
     query, metrics = apply_stream(
         spark,
         tail,

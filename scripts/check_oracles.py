@@ -19,20 +19,59 @@ ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def col_kind(dtype) -> str:
+    """Collapse a pandas dtype to the kind the driver's hash is sensitive
+    to. int32-vs-int64 stringifies identically ("5"), so all integer
+    widths are one kind — but int-vs-float does NOT ("5" vs "5.0"), so
+    those are distinct kinds and a mismatch must fail locally exactly as
+    it fails at the driver (r4 verdict: the float64-coercing comparator
+    masked DuckDB HUGEINT→float64 drift for two rounds)."""
+    k = getattr(dtype, "kind", "O")
+    if k in "iu":
+        return "int"
+    if k == "b":
+        return "bool"
+    if k == "f":
+        return "float"
+    # datetime64 and object share one stringify bucket: Spark DATE
+    # arrives as object (datetime.date) while DuckDB DATE arrives as
+    # datetime64[ns]; pandas stringifies an all-midnight datetime64
+    # column WITHOUT the time part, so both sides canonicalize to
+    # '2024-01-01' — the driver greens these (9 such r4 rows), so the
+    # local gate must too. Real drift inside this bucket is still
+    # caught by the value compare.
+    return "text"
+
+
+def kind_mismatches(got: pd.DataFrame, exp: pd.DataFrame):
+    """Per-column dtype-kind diffs between the Spark and oracle frames
+    (after sorting columns by name). int vs float is the fatal class."""
+    bad = []
+    for c in sorted(set(got.columns) & set(exp.columns)):
+        kg, ke = col_kind(got[c].dtype), col_kind(exp[c].dtype)
+        if kg != ke:
+            bad.append((c, kg, ke))
+    return bad
+
+
 def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Dtype-faithful normalization: floats are rounded, ints STAY ints
+    (widened to int64 only), nothing is coerced across the int/float
+    boundary. Kind mismatches are caught by kind_mismatches() before
+    this runs."""
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
-        if str(df[c].dtype).startswith("datetime"):
-            df[c] = df[c].astype("datetime64[us]").astype(str)
-        elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
-        elif str(df[c].dtype).startswith("float"):
+        k = col_kind(df[c].dtype)
+        if k == "float":
             df[c] = df[c].round(6)
+        elif k == "int":
+            df[c] = df[c].astype("int64")
+        elif k == "bool":
+            df[c] = df[c].astype("bool")
+        elif getattr(df[c].dtype, "kind", "O") == "M":
+            df[c] = df[c].astype("datetime64[us]").astype(str)
         else:
-            try:
-                df[c] = df[c].astype("float64").round(6)
-            except (ValueError, TypeError):
-                df[c] = df[c].astype(str)
+            df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
@@ -79,6 +118,12 @@ def main():
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"✗ {name}: duckdb error {str(e)[:300]}")
+            continue
+        kbad = kind_mismatches(got, exp)
+        if kbad:
+            detail = ", ".join(f"{c}: spark={kg} vs oracle={ke}" for c, kg, ke in kbad)
+            failures.append((name, f"dtype kind mismatch ({detail})"))
+            print(f"✗ {name}: dtype kind mismatch — {detail}")
             continue
         g, e = norm_frame(got), norm_frame(exp)
         if list(g.columns) != list(e.columns):

@@ -376,3 +376,67 @@ def test_bootstrap_stream_end_to_end(spark, tmp_path, split_source):
 
     ref = _reference_state(spark, tmp_path, log, name="ref_stream")
     _assert_frames_equal(_state(spark, tgt, BUSINESS), _state(spark, ref, BUSINESS), BUSINESS)
+
+
+def test_bootstrap_stream_tail_filter_binds_table_order_col(spark, tmp_path, split_source):
+    """r4 ADVICE: the unversioned tail filter hardcoded ``F.col('lsn')``
+    while apply_snapshot_chunks parameterizes order_cols from the table
+    snapshot — a table whose commit-order column is named differently
+    got an AnalysisException (or an unfiltered tail, breaking the
+    unversioned-exactness precondition). The filter must bind
+    ``snap.order_cols[-1]``. Same end-to-end shape as
+    test_bootstrap_stream_end_to_end, with the order column renamed
+    ``lsn`` → ``seq`` everywhere."""
+    from digital_analytics_data_platform_spark.streaming import (
+        cdc_file_stream,
+        write_log_segments,
+    )
+
+    log, src, p = split_source
+    log_seq = log.withColumnRenamed("lsn", "seq")
+    snapshot_df = src.read(spark).drop("lsn")
+    tgt_path = str(tmp_path / "tgt_seq")
+    LakeTable.create(
+        tgt_path, log_seq.drop("op", "commit_lsn").schema,
+        ["conv_id", "turn_idx"], ["ts", "seq"], n_buckets=8,
+    )
+    log_dir = str(tmp_path / "feed_seq")
+    # segments include pre-P events on purpose — the tail filter must
+    # exclude them via the table's own order column name
+    write_log_segments(
+        log_seq.filter(F.col("seq") >= p - 1_000), log_dir, segment_col="seq", n_segments=2
+    )
+    source = cdc_file_stream(spark, log_dir, max_files_per_trigger=1, schema=log_seq.schema)
+
+    query, metrics, chunk_results = bootstrap_stream(
+        spark,
+        snapshot_df,
+        source,
+        tgt_path,
+        str(tmp_path / "ckpt_seq"),
+        snapshot_lsn=p,
+        chunks=2,
+        versioned=False,
+    )
+    assert metrics.batches > 0
+    tgt = LakeTable.load(tgt_path)
+    assert not tgt.snapshot().props.get("bootstrap")
+
+    # reference: the full renamed history through the kernel
+    ref = LakeTable.create(
+        str(tmp_path / "ref_seq"), log_seq.drop("op", "commit_lsn").schema,
+        ["conv_id", "turn_idx"], ["ts", "seq"], n_buckets=8,
+    )
+    bounds = log_seq.agg(F.min("seq"), F.max("seq")).collect()[0]
+    lo, hi = int(bounds[0]), int(bounds[1]) + 1
+    step = max(1, (hi - lo + 3) // 4)
+    for i in range(4):
+        a, b = lo + i * step, min(lo + (i + 1) * step, hi)
+        if a >= b:
+            break
+        merge_changes(
+            spark, ref,
+            log_seq.filter((F.col("seq") >= a) & (F.col("seq") < b)),
+            batch_key=f"seq:{a}", strategy="mor",
+        )
+    _assert_frames_equal(_state(spark, tgt, BUSINESS), _state(spark, ref, BUSINESS), BUSINESS)

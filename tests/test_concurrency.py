@@ -462,3 +462,60 @@ def test_mor_rebase_merges_concurrent_schema_evolution(spark, make_table, monkey
     assert rows["c1"] == (7, None)
     assert rows["c2"] == (None, "why")
     assert rows["c0"] == (None, None)
+
+
+def test_mor_rebase_falls_back_on_concurrent_column_mapping_change(
+    spark, make_table, monkeypatch
+):
+    """r4 ADVICE: a MOR loser's staged files bound logical→physical names
+    against the STALE snapshot's column_mapping. If the lost CAS was a
+    concurrent drop_column, re-offering those files would write into the
+    just-retired physical column (silently invisible). The rebase must
+    detect the mapping change and fall back to the full re-run — after
+    which the batch's values land in the fresh physical column and stay
+    visible at the logical name."""
+    import glob
+
+    tbl = make_table()
+    merge_changes(
+        spark, tbl, cdc_rows(spark, [("I", "c1", 0, "tool", "a", "browser", 10, 1)]),
+        batch_key="b1", strategy="mor",
+    )
+
+    real_commit = LakeTable.commit
+    real_write = LakeTable.write_data_files
+    counts = {"races": 0, "writes": 0}
+
+    def counting_write(self, *a, **kw):
+        counts["writes"] += 1
+        return real_write(self, *a, **kw)
+
+    def racing_commit(self, **kw):
+        if counts["races"] == 0 and kw.get("new_files"):
+            counts["races"] = 1
+            tbl.drop_column("tool")
+        return real_commit(self, **kw)
+
+    monkeypatch.setattr(LakeTable, "write_data_files", counting_write)
+    monkeypatch.setattr(LakeTable, "commit", racing_commit)
+    res = merge_changes(
+        spark, tbl, cdc_rows(spark, [("I", "c2", 0, "tool", "b", "terminal", 20, 2)]),
+        batch_key="b2", strategy="mor", conflict_retries=2,
+    )
+    monkeypatch.undo()
+    assert not res.skipped and counts["races"] == 1
+    assert counts["writes"] == 2, "mapping change must force the full re-run, not a rebase"
+
+    snap = tbl.snapshot()
+    assert snap.physical_of("tool") == "tool__v2", snap.mapping()
+    vals = {r["conv_id"]: r["tool"] for r in tbl.read(spark).select("conv_id", "tool").collect()}
+    assert vals["c2"] == "terminal", "post-drop batch value invisible (landed in retired column)"
+    assert vals["c1"] is None, "dropped value resurrected"
+
+    # the abandoned first-attempt files were deleted, not orphaned
+    manifest_files = {f["path"] for f in snap.files}
+    on_disk = {
+        os.path.relpath(p, tbl.path)
+        for p in glob.glob(os.path.join(tbl.path, "data", "**", "*.parquet"), recursive=True)
+    }
+    assert on_disk <= manifest_files, f"orphans left: {on_disk - manifest_files}"

@@ -235,3 +235,66 @@ def test_rename_back_restores_identity_mapping(spark, make_table):
     tbl.rename_column("content", "text")
     assert tbl.snapshot().mapping() == {}
     assert tbl.read(spark).first()["text"] == "v"
+
+
+def test_replace_full_after_drop_readd_commits_mapping(spark, make_table):
+    """r4 ADVICE (medium): replace_full discarded _to_physical_batch's
+    mapping_update, so a rebuild re-adding a dropped logical column lost
+    the fresh-physical binding — reads exposed the raw physical name and
+    the NEXT merge forked the logical column into yet another physical.
+    The mapping additions must ride the rebuild's commit."""
+    from digital_analytics_data_platform_spark.lake.merge import replace_full
+
+    tbl = make_table("rfdrop")
+    merge_changes(
+        spark, tbl, cdc_rows(spark, [("U", "c1", 0, "tool", "x", "browser", 10, 1)]),
+        batch_key="b0", strategy="mor",
+    )
+    tbl.drop_column("tool")
+
+    rebuilt = cdc_rows(spark, [("U", "c1", 0, "tool", "x2", "terminal", 20, 2)])
+    replace_full(spark, tbl, rebuilt, batch_key="rf")
+
+    snap = tbl.snapshot()
+    assert snap.physical_of("tool") == "tool__v2", snap.mapping()
+    cols = set(tbl.read(spark).columns)
+    assert "tool" in cols and not any(c.startswith("tool__v") for c in cols), cols
+    assert tbl.read(spark).first()["tool"] == "terminal"
+
+    # subsequent MERGE binds the SAME physical column — no tool__v3 fork
+    merge_changes(
+        spark, tbl, cdc_rows(spark, [("U", "c1", 0, "tool", "x3", "editor", 30, 3)]),
+        batch_key="b1", strategy="mor",
+    )
+    assert tbl.snapshot().physical_of("tool") == "tool__v2"
+    assert tbl.read(spark).first()["tool"] == "editor"
+
+
+def test_reconcile_after_drop_readd_commits_mapping(spark, make_table):
+    """Same contract for the window-reconcile path."""
+    import datetime
+
+    from digital_analytics_data_platform_spark.lake.merge import reconcile_backfill
+
+    tbl = make_table("rcdrop")
+    merge_changes(
+        spark, tbl, cdc_rows(spark, [("U", "c1", 0, "tool", "x", "browser", 10, 1)]),
+        batch_key="b0", strategy="mor",
+    )
+    tbl.drop_column("tool")
+
+    window = cdc_rows(spark, [("U", "c1", 0, "tool", "x2", "terminal", 15, 9)])
+    start = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    end = datetime.datetime(2026, 1, 1, 1, 0, 0)
+    reconcile_backfill(spark, tbl, window, start, end, batch_key="rc")
+
+    snap = tbl.snapshot()
+    assert snap.physical_of("tool") == "tool__v2", snap.mapping()
+    assert tbl.read(spark).first()["tool"] == "terminal"
+
+    merge_changes(
+        spark, tbl, cdc_rows(spark, [("U", "c1", 0, "tool", "x3", "editor", 30, 3)]),
+        batch_key="b1", strategy="mor",
+    )
+    assert tbl.snapshot().physical_of("tool") == "tool__v2"
+    assert tbl.read(spark).first()["tool"] == "editor"

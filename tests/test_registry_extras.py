@@ -54,15 +54,32 @@ def test_pytest_only_oracle_match(spark, name):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     exp = con.sql(EXTRA_ORACLES[name]).df()
 
+    # dtype-faithful compare, same contract as scripts/check_oracles.py
+    # post-r4: int-vs-float kind drift (DuckDB HUGEINT → float64 vs
+    # Spark int64) must FAIL here the way it fails at the driver; ints
+    # are never coerced to float.
+    def kind(dt):
+        k = getattr(dt, "kind", "O")
+        return {"i": "int", "u": "int", "b": "bool", "f": "float"}.get(k, "text")
+
+    for c in sorted(set(got.columns) & set(exp.columns)):
+        assert kind(got[c].dtype) == kind(exp[c].dtype), (
+            f"{name}: dtype kind mismatch on {c!r} — "
+            f"spark={got[c].dtype} vs oracle={exp[c].dtype}"
+        )
+
     def norm(df):
         df = df.reindex(sorted(df.columns), axis=1)
         for c in df.columns:
-            if str(df[c].dtype).startswith("datetime"):
+            k = kind(df[c].dtype)
+            if k == "float":
+                df[c] = df[c].round(6)
+            elif k == "int":
+                df[c] = df[c].astype("int64")
+            elif str(df[c].dtype).startswith("datetime"):
                 df[c] = df[c].astype("datetime64[us]").astype(str)
             elif df[c].dtype == object:
                 df[c] = df[c].astype(str)
-            elif str(df[c].dtype).startswith("float"):
-                df[c] = df[c].round(6)
         return df.sort_values(list(df.columns)).reset_index(drop=True)
 
     g, e = norm(got), norm(exp)

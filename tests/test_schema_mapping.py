@@ -298,3 +298,35 @@ def test_reconcile_after_drop_readd_commits_mapping(spark, make_table):
     )
     assert tbl.snapshot().physical_of("tool") == "tool__v2"
     assert tbl.read(spark).first()["tool"] == "editor"
+
+
+def test_reconcile_empty_window_still_commits_mapping(spark, make_table):
+    """Edge of the same contract: an empty corrected feed whose SCHEMA
+    re-adds a dropped column takes the ledger-only early exit (no
+    affected buckets) — the fresh-physical mapping allocated from the
+    batch schema must still ride that commit, so the next merge binds
+    the same physical column instead of allocating another."""
+    import datetime
+
+    from digital_analytics_data_platform_spark.lake.merge import reconcile_backfill
+
+    tbl = make_table("rcempty")
+    merge_changes(
+        spark, tbl, cdc_rows(spark, [("U", "c1", 0, "tool", "x", "browser", 10, 1)]),
+        batch_key="b0", strategy="mor",
+    )
+    tbl.drop_column("tool")
+
+    empty = cdc_rows(spark, [("U", "c9", 0, "tool", "z", "zz", 10, 9)]).filter(F.lit(False))
+    start = datetime.datetime(2027, 1, 1, 0, 0, 0)
+    end = datetime.datetime(2027, 1, 2, 0, 0, 0)
+    res = reconcile_backfill(spark, tbl, empty, start, end, batch_key="rc-empty")
+    assert res.strategy == "reconcile"
+    assert tbl.snapshot().physical_of("tool") == "tool__v2", tbl.snapshot().mapping()
+
+    merge_changes(
+        spark, tbl, cdc_rows(spark, [("U", "c1", 0, "tool", "x2", "editor", 30, 3)]),
+        batch_key="b1", strategy="mor",
+    )
+    assert tbl.snapshot().physical_of("tool") == "tool__v2"
+    assert tbl.read(spark).first()["tool"] == "editor"
